@@ -1,0 +1,45 @@
+"""Crawl configuration (reference CLI-arg surface, src/crawler.py:296-332)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # reference args (run_crawler.sh:1-8)
+    cos_sim_threshold: float = 0.6     # src/crawler.py:205
+    max_crawler_depth: int = 2         # expanded *pages* per domain, src/crawler.py:196-201
+    num_domains: int | None = None     # head-N cut of the seed list, src/crawler.py:337-338
+    keywords: tuple[str, ...] = ("privacy",)  # PRIVACY_POLICY_KEYWORDS, src/crawler.py:20
+    # english filter (src/verification/verify.py:48)
+    word_percentage: float = 50.0
+    char_percentage: float = 85.0
+    # engine-side (north-rule additions; do not change outputs, only scheduling)
+    wave_url_cap: int = 200_000        # max URLs fetched per wave
+    per_host_wave_cap: int = 64        # politeness: max fetches/host/wave
+    host_tokens_per_wave: int = 64     # token-bucket refill per wave
+    expand_slack: int = 2              # prefetch expands max_depth+slack pages/domain
+    n_seen_shards: int = 8             # cuckoo-filter actor shards
+    n_politeness_shards: int = 4
+    respect_robots: bool = False       # reference has no robots handling (SURVEY T6)
+
+
+@dataclass(frozen=True)
+class DatagenConfig:
+    """Deterministic synthetic corpus parameters (FIXTURES.md §1-§5)."""
+
+    n_images: int = 2000
+    n_hosts: int = 50
+    n_seeds: int | None = None         # default: all hosts
+    seed: int = 42
+    n_shards: int = 8                  # pages table hash shards (fetch-by-key layout)
+    policy_rate: float = 0.22          # fraction of non-landing pages that are policies
+    dup_rate: float = 0.10             # policies whose text duplicates a template
+    foreign_rate: float = 0.08         # non-english pages
+    links_per_page: tuple[int, int] = (1, 6)
+    extra_query_rate: float = 0.3
+    fragment_rate: float = 0.25
+    min_dim: int = 16
+    max_dim: int = 64
+    qjpg_rate: float = 0.2
