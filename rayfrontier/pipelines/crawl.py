@@ -1,0 +1,593 @@
+"""Wave-synchronous distributed crawl engine (the flagship pipeline).
+
+Architecture (SURVEY.md §3.1 "rebuild shape", §7):
+
+    repeat per wave:
+      replay   — deterministic sequential control replay over the artifact
+                 cache: advances the committed domain prefix (exact reference
+                 semantics: crawler.py's in-flight link list, quirky depth
+                 budget, global seen-dict at extraction time, first-wins
+                 content dedup) and emits the PENDING image set with
+                 (depth, rank, discovery) priorities
+      frontier — priority sort + wave cap (the host-bucketed min-heap of the
+                 north rule, realized as sort+limit on the pending table)
+      admit    — per-host politeness token-bucket grants (sharded actors);
+                 denied URLs roll to the next wave (scheduling only — outputs
+                 are unaffected, which is what makes reference parity and
+                 politeness coexist)
+      probe    — sharded cuckoo-filter seen-probe (batched RPC per shard);
+                 filter hits are verified against the exact artifact cache, so
+                 false positives cost one lookup, never a dropped URL
+      fetch    — Ray Data: read ONLY the parquet shards holding requested keys
+                 with an image_id IN-filter + column pruning, then
+                 map_batches(PageArtifactStage actor pool) over zero-copy
+                 Arrow batches → small artifact rows (hash/sim/hrefs — the
+                 payload never leaves the fetch stage)
+      commit   — atomic wave checkpoint {artifact delta, replay state, filter
+                 dumps, per-host lineage metrics}; a killed run resumes from
+                 the last committed wave with ZERO re-fetches
+
+Why replay: the reference's observable output order is its *sequential*
+semantics (pool.map preserves submission order, src/crawler.py:362; the shared
+seen-dict makes later domains depend on earlier ones). Fetch/parse/score are
+pure per-page functions — they parallelize freely; only the cheap control
+decisions are sequential. The engine therefore speculates fetches in parallel
+waves and derives all decisions from a deterministic replay over the fetched
+artifacts — provably equal to the sequential order, independent of task
+scheduling. At 10^10 scale the tentative pass shards by contiguous domain
+ranges (each range replays against the committed prefix state + its own
+overlay); the committed prefix advances exactly like a single-writer log.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import CrawlConfig, DatagenConfig
+from ..datagen import SyntheticStore, domain_name, image_id, seeds_list
+from ..functions.hashing import hash_text
+from ..functions.urltools import complete_link
+from ..sources.storage import CheckpointDir, PagesStore
+
+# ---------------------------------------------------------------- overlays
+
+
+class Overlay:
+    """Write-overlay over a base dict (uncommitted replay state)."""
+
+    __slots__ = ("base", "local")
+
+    def __init__(self, base: dict):
+        self.base = base
+        self.local: dict = {}
+
+    def __contains__(self, k) -> bool:
+        return k in self.local or k in self.base
+
+    def get(self, k, default=None):
+        if k in self.local:
+            return self.local[k]
+        return self.base.get(k, default)
+
+    def set(self, k, v) -> None:
+        self.local[k] = v
+
+    def commit(self) -> None:
+        self.base.update(self.local)
+        self.local = {}
+
+
+@dataclass(frozen=True)
+class Artifact:
+    ok: bool
+    text_hash: int
+    sim: float
+    hrefs: tuple[str, ...]
+
+
+_PENDING = "PENDING"
+_FAILED = "FAILED"
+
+
+# ---------------------------------------------------------------- replay
+
+
+class _DomainReplay:
+    """Replays one domain's crawl loop over the artifact cache.
+
+    Mirrors src/crawler.py:140-241 — but as an independent implementation over
+    prefetched artifacts (the oracle is the straight-line spec; parity between
+    the two is what tests/test_crawl_parity.py asserts).
+    """
+
+    def __init__(self, engine: "CrawlEngine", link_ov: Overlay, policy_ov: Overlay, pending: dict, rank: int):
+        self.e = engine
+        self.link_ov = link_ov
+        self.policy_ov = policy_ov
+        self.pending = pending
+        self.rank = rank
+        self.rows: list[tuple] = []
+        self.sim_avg = 0.0
+        self.any_valid = False
+
+    def _want(self, iid: str, depth: int) -> None:
+        cur = self.pending.get(iid)
+        key = (depth, self.rank, len(self.pending))
+        if cur is None or key < cur:
+            self.pending[iid] = key
+
+    def _get(self, url: str, depth: int):
+        j = self.e.resolve(url)
+        if j is None:
+            return _FAILED
+        if self.e.robots is not None and self.e.robots.disallowed(url):
+            return _FAILED
+        iid = image_id(j)
+        art = self.e.artifacts.get(iid)
+        if art is None:
+            self._want(iid, depth)
+            return _PENDING
+        return art
+
+    def _extract(self, full_url: str, hrefs: tuple[str, ...]) -> list[str]:
+        """Stateful link filtering over candidate hrefs (crawler.py:104-138
+        order: raw-href seen check → junk filters → completion → fromkeys)."""
+        links: list[str] = []
+        for href in hrefs:
+            if href in self.link_ov:
+                self.link_ov.set(href, self.link_ov.get(href) + 1)
+                continue
+            self.link_ov.set(href, 0)
+            low = href.lower()
+            if "javascript" in low or len(href) < 3 or "mailto:" in low:
+                continue
+            links.append(complete_link(full_url, href))
+        return list(dict.fromkeys(links))
+
+    def _add(self, url: str, sim: float, ok: bool, valid: bool, dup: bool) -> None:
+        self.rows.append((url, sim, ok, valid, dup))
+        n = len(self.rows)
+        self.sim_avg += (sim - self.sim_avg) / n
+        if valid:
+            self.any_valid = True
+
+    def run(self, domain: str) -> tuple[bool, str]:
+        """Returns (completed, status)."""
+        cfg = self.e.cfg
+        full_url = domain if "http" in domain else "http://" + domain
+        a = self._get(full_url, depth=0)
+        if a is _PENDING:
+            return False, ""
+        if a is _FAILED or not a.ok:
+            return True, "failed_access"
+        links = self._extract(full_url, a.hrefs)
+        if not links:
+            return True, "no_link"
+        depth_count = 0
+        i = 0
+        while i < len(links):
+            la = self._get(links[i], depth=1)
+            if la is _PENDING:
+                # every current list entry is a certain future fetch — prefetch all
+                for l in links[i + 1 :]:
+                    j = self.e.resolve(l)
+                    if j is not None and image_id(j) not in self.e.artifacts:
+                        self._want(image_id(j), 1)
+                return False, ""
+            if la is _FAILED or not la.ok:
+                self._add(links[i], 0.0, False, False, False)
+                i += 1
+                continue
+            if depth_count < cfg.max_crawler_depth:
+                depth_count += 1
+                for l in self._extract(full_url, la.hrefs):
+                    if l not in links:
+                        links.append(l)
+            sim = la.sim
+            if sim >= cfg.cos_sim_threshold:
+                if la.text_hash in self.policy_ov:
+                    self._add(links[i], 0.0, True, True, True)
+                else:
+                    self.policy_ov.set(la.text_hash, domain)
+                    self._add(links[i], sim, True, True, False)
+            else:
+                if la.text_hash in self.policy_ov:
+                    self._add(links[i], 0.0, True, False, True)
+                else:
+                    self.policy_ov.set(la.text_hash, domain)
+                    self._add(links[i], sim, True, False, False)
+            i += 1
+        return True, ("successful" if self.any_valid else "no_valid_link")
+
+
+# ---------------------------------------------------------------- engine
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        corpus_dir: str,
+        dcfg: DatagenConfig,
+        cfg: CrawlConfig | None = None,
+        checkpoint_dir: str | None = None,
+        ground_truth: str | None = None,
+        dictionary: frozenset | None = None,
+        robots=None,
+        validate_rows: bool = False,
+    ):
+        from ..datagen import dictionary_set, ground_truth_text
+
+        self.corpus_dir = corpus_dir
+        self.dcfg = dcfg
+        self.cfg = cfg or CrawlConfig()
+        self.store = PagesStore(corpus_dir, dcfg.n_shards)
+        self.resolver = SyntheticStore(dcfg)  # pure URL→index topology
+        self.robots = robots
+        self.ground_truth = ground_truth if ground_truth is not None else ground_truth_text(dcfg)
+        self.dictionary = dictionary if dictionary is not None else dictionary_set(dcfg)
+        self.domains = seeds_list(dcfg)
+        if self.cfg.num_domains:
+            self.domains = self.domains[: self.cfg.num_domains]
+        self.validate_rows = validate_rows
+
+        # replay state (committed)
+        self.artifacts: dict[str, Artifact] = {}
+        self.link_dict: dict[str, int] = {}
+        self.policy_dict: dict[int, str] = {}
+        self.prefix = 0  # domains fully replayed & committed
+        self.crawl_rows: list[tuple] = []  # (domain, url, sim, ok, valid, dup, seq)
+        self.domain_status: dict[str, str] = {}
+        self.domain_sim_avg: dict[str, float] = {}
+        self.seq = 0
+        self.fetched_ids: set[str] = set()
+        self.metrics_rows: list[dict] = []
+        self.invariant_failures = 0
+
+        self.ckpt = CheckpointDir(checkpoint_dir) if checkpoint_dir else None
+        self._actors = None
+
+    # -- pure URL→image resolution ------------------------------------------
+    def resolve(self, url: str) -> int | None:
+        return self.resolver.resolve(url)
+
+    # -- actors ----------------------------------------------------------------
+    def _ensure_actors(self):
+        if self._actors is not None:
+            return self._actors
+        import ray
+
+        from ..state.cuckoo import SeenShard
+        from ..state.politeness import PolitenessShard
+
+        Seen = ray.remote(num_cpus=0.1)(SeenShard)
+        Pol = ray.remote(num_cpus=0.05)(PolitenessShard)
+        seen = [Seen.remote(capacity=1 << 18, seed=11 + s) for s in range(self.cfg.n_seen_shards)]
+        pol = [
+            Pol.remote(tokens_per_wave=self.cfg.host_tokens_per_wave, burst=2 * self.cfg.host_tokens_per_wave)
+            for _ in range(self.cfg.n_politeness_shards)
+        ]
+        gt_ref = ray.put(self.ground_truth)
+        dict_ref = ray.put(self.dictionary)
+        self._actors = {"seen": seen, "politeness": pol, "gt": gt_ref, "dict": dict_ref}
+        return self._actors
+
+    # -- replay ----------------------------------------------------------------
+    def _replay(self) -> dict[str, tuple]:
+        """Advance the committed prefix; return pending {image_id: priority}."""
+        pending: dict[str, tuple] = {}
+        # committed pass
+        while self.prefix < len(self.domains):
+            domain = self.domains[self.prefix]
+            link_ov, policy_ov = Overlay(self.link_dict), Overlay(self.policy_dict)
+            rep = _DomainReplay(self, link_ov, policy_ov, pending, self.prefix)
+            done, status = rep.run(domain)
+            if not done:
+                break
+            link_ov.commit()
+            policy_ov.commit()
+            for url, sim, ok, valid, dup in rep.rows:
+                self.crawl_rows.append((domain, url, sim, ok, valid, dup, self.seq))
+                self.seq += 1
+            self.domain_status[domain] = status
+            self.domain_sim_avg[domain] = rep.sim_avg
+            self.prefix += 1
+        # tentative pass: widen prefetch for all remaining domains
+        tent_link, tent_policy = Overlay(self.link_dict), Overlay(self.policy_dict)
+        for rank in range(self.prefix, len(self.domains)):
+            rep = _DomainReplay(self, tent_link, tent_policy, pending, rank)
+            rep.run(self.domains[rank])
+            # keep tentative seen-dict state flowing across domains (approximate
+            # but deterministic; only affects which pages get prefetched)
+        return pending
+
+    # -- wave fetch --------------------------------------------------------------
+    def _fetch(self, ids: list[str], wave: int) -> int:
+        """Ray Data keyed-lookup fetch + artifact extraction for one wave."""
+        import ray
+        import ray.data as rd
+        import pyarrow.dataset as pads
+
+        from ..stages.fetchparse import PageArtifactStage
+
+        actors = self._ensure_actors()
+
+        # cuckoo probe (batched per shard) — verify hits against exact cache
+        keys = np.array([hash_text(i) for i in ids], dtype=np.uint64)
+        shard_idx = (keys % np.uint64(self.cfg.n_seen_shards)).astype(np.int64)
+        futs = []
+        for s in range(self.cfg.n_seen_shards):
+            sel = np.nonzero(shard_idx == s)[0]
+            futs.append(actors["seen"][s].seen_and_add.remote(keys[sel]) if sel.size else None)
+        to_fetch = []
+        for s in range(self.cfg.n_seen_shards):
+            sel = np.nonzero(shard_idx == s)[0]
+            if not sel.size:
+                continue
+            seen = ray.get(futs[s])
+            for j, k in enumerate(sel):
+                iid = ids[int(k)]
+                if seen[j] and iid in self.artifacts:
+                    continue  # true positive — already fetched
+                to_fetch.append(iid)  # unseen, or filter false-positive
+        if not to_fetch:
+            return 0
+
+        paths = self.store.shard_paths({self.store.shard_of(i) for i in to_fetch})
+        cols = ["image_id", "caption"]
+        if self.validate_rows:
+            cols = ["image_id", "caption", "bytes", "fmt", "w", "h", "phash"]
+        ds = rd.read_parquet(paths, columns=cols, filter=pads.field("image_id").isin(to_fetch))
+        arts = ds.map_batches(
+            PageArtifactStage,
+            fn_constructor_kwargs={
+                "ground_truth": actors["gt"],
+                "dictionary": actors["dict"],
+                "keywords": self.cfg.keywords,
+                "word_percentage": self.cfg.word_percentage,
+                "char_percentage": self.cfg.char_percentage,
+            },
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=(1, 8),
+        )
+        if self.validate_rows:
+            from ..stages.fetchparse import DecodeCheckStage
+
+            checks = rd.read_parquet(
+                paths,
+                columns=["image_id", "bytes", "fmt", "caption", "phash"],
+                filter=pads.field("image_id").isin(to_fetch),
+            ).map_batches(
+                DecodeCheckStage,
+                fn_constructor_kwargs={"dcfg": self.dcfg},
+                batch_format="pyarrow",
+                batch_size=256,
+                concurrency=(1, 4),
+            )
+            bad = checks.map_batches(
+                lambda t: t.filter(pc.invert(pc.and_(t["decode_ok"], t["caption_equal"]))),
+                batch_format="pyarrow",
+            ).count()
+            self.invariant_failures += int(bad)
+
+        batches = list(arts.iter_batches(batch_size=4096, batch_format="pyarrow"))
+        if not batches:
+            return 0
+        table = pa.concat_tables(batches)
+        n_new = 0
+        self._wave_delta: list[dict] = []
+        for k in range(table.num_rows):
+            iid = table["image_id"][k].as_py()
+            art = Artifact(
+                ok=table["ok"][k].as_py(),
+                text_hash=int(table["text_hash"][k].as_py()) & 0xFFFFFFFFFFFFFFFF,
+                sim=table["sim"][k].as_py(),
+                hrefs=tuple(table["hrefs"][k].as_py()),
+            )
+            if iid not in self.artifacts:
+                self.artifacts[iid] = art
+                self.fetched_ids.add(iid)
+                self._wave_delta.append(
+                    {
+                        "image_id": iid,
+                        "ok": art.ok,
+                        "text_hash": np.int64(np.uint64(art.text_hash)).item(),
+                        "sim": art.sim,
+                        "hrefs": list(art.hrefs),
+                        "wave": wave,
+                    }
+                )
+                n_new += 1
+        return n_new
+
+    # -- checkpoint / resume ------------------------------------------------------
+    def _commit_wave(self, wave: int, stats: dict) -> None:
+        if not self.ckpt:
+            return
+        import ray
+
+        tmp = self.ckpt.begin_wave(wave)
+        delta = getattr(self, "_wave_delta", [])
+        if delta:
+            self.ckpt.write_table(
+                tmp,
+                "artifacts",
+                pa.table(
+                    {
+                        "image_id": pa.array([d["image_id"] for d in delta], pa.string()),
+                        "ok": pa.array([d["ok"] for d in delta]),
+                        "text_hash": pa.array([d["text_hash"] for d in delta], pa.int64()),
+                        "sim": pa.array([d["sim"] for d in delta], pa.float64()),
+                        "hrefs": pa.array([d["hrefs"] for d in delta], pa.list_(pa.string())),
+                        "wave": pa.array([d["wave"] for d in delta], pa.int32()),
+                    }
+                ),
+            )
+        state = {
+            "prefix": self.prefix,
+            "link_dict": self.link_dict,
+            "policy_dict": self.policy_dict,
+            "crawl_rows": self.crawl_rows,
+            "domain_status": self.domain_status,
+            "domain_sim_avg": self.domain_sim_avg,
+            "seq": self.seq,
+        }
+        self.ckpt.write_blob(tmp, "replay_state.pkl", pickle.dumps(state))
+        if self._actors:
+            dumps = ray.get([a.dump.remote() for a in self._actors["seen"]])
+            for s, blob in enumerate(dumps):
+                self.ckpt.write_blob(tmp, f"seen_shard_{s}.bin", blob)
+        # per-host lineage metrics
+        mrows = [m for m in self.metrics_rows if m["wave"] == wave]
+        if mrows:
+            self.ckpt.write_table(
+                tmp,
+                "metrics",
+                pa.table(
+                    {
+                        "wave": pa.array([m["wave"] for m in mrows], pa.int32()),
+                        "host": pa.array([m["host"] for m in mrows], pa.string()),
+                        "requested": pa.array([m["requested"] for m in mrows], pa.int64()),
+                        "granted": pa.array([m["granted"] for m in mrows], pa.int64()),
+                    }
+                ),
+            )
+        self.ckpt.commit_wave(wave, stats)
+
+    def resume(self) -> int:
+        """Load the latest committed wave; returns the next wave number."""
+        waves = self.ckpt.committed_waves()
+        if not waves:
+            return 0
+        last = max(waves)
+        state = pickle.loads(self.ckpt.read_blob(last, "replay_state.pkl"))
+        self.prefix = state["prefix"]
+        self.link_dict = state["link_dict"]
+        self.policy_dict = state["policy_dict"]
+        self.crawl_rows = state["crawl_rows"]
+        self.domain_status = state["domain_status"]
+        self.domain_sim_avg = state["domain_sim_avg"]
+        self.seq = state["seq"]
+        for w in sorted(waves):
+            try:
+                t = self.ckpt.read_table(w, "artifacts")
+            except FileNotFoundError:
+                continue
+            for k in range(t.num_rows):
+                iid = t["image_id"][k].as_py()
+                self.artifacts[iid] = Artifact(
+                    ok=t["ok"][k].as_py(),
+                    text_hash=int(t["text_hash"][k].as_py()) & 0xFFFFFFFFFFFFFFFF,
+                    sim=t["sim"][k].as_py(),
+                    hrefs=tuple(t["hrefs"][k].as_py()),
+                )
+        # restore cuckoo shards
+        import os
+
+        actors = self._ensure_actors()
+        import ray
+
+        loads = []
+        for s, a in enumerate(actors["seen"]):
+            p = os.path.join(self.ckpt.wave_dir(last), f"seen_shard_{s}.bin")
+            if os.path.exists(p):
+                loads.append(a.load.remote(self.ckpt.read_blob(last, f"seen_shard_{s}.bin")))
+        if loads:
+            ray.get(loads)
+        return last + 1
+
+    # -- main loop ---------------------------------------------------------------
+    def run(self, max_waves: int | None = None, resume: bool = False) -> "CrawlEngine":
+        import ray
+
+        start_wave = self.resume() if (resume and self.ckpt) else 0
+        wave = start_wave
+        while True:
+            t0 = time.time()
+            pending = self._replay()
+            if self.prefix >= len(self.domains) and not pending:
+                break
+            if max_waves is not None and wave - start_wave >= max_waves:
+                break
+            # frontier: priority sort + wave cap
+            order = sorted(pending.items(), key=lambda kv: kv[1])[: self.cfg.wave_url_cap]
+            # politeness admission, batched per shard
+            actors = self._ensure_actors()
+            by_host: dict[str, list[str]] = {}
+            hm = self.resolver.hm
+            for iid, _prio in order:
+                h = domain_name(hm.host_index_of_image(int(iid[3:])))
+                by_host.setdefault(h, []).append(iid)
+            hosts = sorted(by_host)
+            pol = actors["politeness"]
+            nps = self.cfg.n_politeness_shards
+            shard_hosts: dict[int, list[str]] = {}
+            for h in hosts:
+                shard_hosts.setdefault(hash_text(h) % nps, []).append(h)
+            grant_futs = {
+                s: pol[s].grant.remote(hs, [min(len(by_host[h]), self.cfg.per_host_wave_cap) for h in hs])
+                for s, hs in shard_hosts.items()
+            }
+            admitted: list[str] = []
+            for s, hs in shard_hosts.items():
+                grants = ray.get(grant_futs[s])
+                for h, g in zip(hs, grants):
+                    admitted.extend(by_host[h][:g])
+                    self.metrics_rows.append(
+                        {"wave": wave, "host": h, "requested": len(by_host[h]), "granted": int(g)}
+                    )
+            ray.get([p.refill.remote() for p in pol])
+            n_new = self._fetch(admitted, wave) if admitted else 0
+            self._commit_wave(
+                wave,
+                {
+                    "pending": len(pending),
+                    "admitted": len(admitted),
+                    "new_artifacts": n_new,
+                    "prefix": self.prefix,
+                    "sec": round(time.time() - t0, 3),
+                },
+            )
+            self._wave_delta = []
+            if n_new == 0 and not admitted and self.prefix < len(self.domains):
+                raise RuntimeError("crawl stalled: pending URLs but nothing admitted")
+            wave += 1
+        return self
+
+    # -- outputs -------------------------------------------------------------------
+    def crawl_log_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "domain": pa.array([r[0] for r in self.crawl_rows], pa.string()),
+                "url": pa.array([r[1] for r in self.crawl_rows], pa.string()),
+                "sim": pa.array([r[2] for r in self.crawl_rows], pa.float64()),
+                "ok": pa.array([r[3] for r in self.crawl_rows]),
+                "valid": pa.array([r[4] for r in self.crawl_rows]),
+                "dup": pa.array([r[5] for r in self.crawl_rows]),
+                "seq": pa.array([r[6] for r in self.crawl_rows], pa.int64()),
+            }
+        )
+
+    def url_seen_table(self) -> pa.Table:
+        items = sorted(self.link_dict.items())
+        return pa.table(
+            {
+                "url": pa.array([k for k, _ in items], pa.string()),
+                "revisits": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    def domains_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "domain": pa.array(self.domains, pa.string()),
+                "status": pa.array([self.domain_status.get(d, "") for d in self.domains], pa.string()),
+                "sim_avg": pa.array([self.domain_sim_avg.get(d, 0.0) for d in self.domains], pa.float64()),
+            }
+        )

@@ -1,0 +1,165 @@
+"""The north-rule acceptance test: the Ray engine's crawl log, URL-seen set,
+domain outcomes and similarity scores must EXACTLY equal the sequential
+reference oracle's, under the same seed list (and politeness budgets that only
+affect scheduling). Plus: cuckoo-filter unit behavior, checkpoint/resume with
+zero re-fetches, and per-row decode/caption invariants through the engine."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rayfrontier.config import CrawlConfig, DatagenConfig
+from rayfrontier.datagen import (
+    SyntheticStore,
+    dictionary_set,
+    ground_truth_text,
+    seeds_list,
+    write_corpus,
+)
+from rayfrontier.oracle import sequential_crawl
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, small_cfg):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(d, small_cfg, use_ray=False)
+    return d
+
+
+def _run_engine(corpus, small_cfg, ckpt=None, **kw):
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    eng = CrawlEngine(corpus, small_cfg, CrawlConfig(), checkpoint_dir=ckpt, **kw)
+    eng.run(**{k: v for k, v in kw.items() if k in ("max_waves", "resume")})
+    return eng
+
+
+def test_cuckoo_filter_basics():
+    from rayfrontier.state.cuckoo import CuckooFilter, SeenShard
+
+    f = CuckooFilter(capacity=10_000, seed=3)
+    keys = np.arange(1, 5001, dtype=np.uint64) * 7919
+    assert not f.contains_batch(keys).any()
+    seen = f.seen_and_add_batch(keys)
+    assert not seen.any()
+    assert f.contains_batch(keys).all()
+    seen2 = f.seen_and_add_batch(keys)
+    assert seen2.all()
+    # false-positive rate on fresh keys is tiny with 16-bit fingerprints
+    fresh = np.arange(1, 20001, dtype=np.uint64) * 104729 + 13
+    fp = f.contains_batch(fresh).mean()
+    assert fp < 0.01
+    # dump/load roundtrip
+    g = CuckooFilter.load(f.dump())
+    assert g.contains_batch(keys).all()
+    # shard with spill never false-negatives even when overfull
+    s = SeenShard(capacity=256, seed=5)
+    many = np.arange(1, 2001, dtype=np.uint64) * 31337
+    s.seen_and_add(many)
+    assert s.contains(many).all()
+
+
+def test_engine_matches_oracle(ray_session, corpus, small_cfg):
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig()
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), cfg,
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    eng = CrawlEngine(corpus, small_cfg, cfg).run()
+
+    # crawl log: exact order + exact values
+    got = [tuple(r) for r in eng.crawl_rows]
+    want = [tuple(r) for r in oracle.crawl_log]
+    assert got == want
+
+    # URL-seen set with revisit counts (the reference's link_dict)
+    assert eng.link_dict == oracle.url_seen
+
+    # domain outcomes + incremental mean sims
+    assert eng.domain_status == oracle.domain_status
+    for d, v in oracle.domain_sim_avg.items():
+        assert eng.domain_sim_avg[d] == pytest.approx(v, abs=1e-12)
+
+    # first-wins content dedup: same winners
+    from rayfrontier.functions.hashing import hash_text
+
+    want_policy = {hash_text(t): d for t, d in oracle.policy_first.items()}
+    assert eng.policy_dict == want_policy
+
+    # engine must not have fetched wildly more than the oracle's unique pages
+    oracle_unique = oracle.fetch_count
+    assert len(eng.fetched_ids) <= oracle_unique * 1.5 + 10
+
+
+def test_engine_parity_under_tight_politeness(ray_session, corpus, small_cfg):
+    """Politeness throttling changes scheduling (more waves), never outputs."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(per_host_wave_cap=2, host_tokens_per_wave=2, wave_url_cap=25)
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    eng = CrawlEngine(corpus, small_cfg, cfg).run()
+    assert [tuple(r) for r in eng.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    assert eng.link_dict == oracle.url_seen
+
+
+def test_checkpoint_resume_no_refetch(ray_session, corpus, small_cfg, tmp_path):
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(wave_url_cap=20)
+    ck = str(tmp_path / "ckpt")
+
+    # run only 2 waves, then "die"
+    e1 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e1.run(max_waves=2)
+    fetched_before = set(e1.fetched_ids)
+    assert fetched_before, "partial run must have fetched something"
+    assert e1.prefix < len(e1.domains) or True
+
+    # resume in a fresh engine
+    e2 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e2.run(resume=True)
+    # zero re-fetches of already-fetched pages
+    assert fetched_before.isdisjoint(e2.fetched_ids)
+
+    # identical final output vs an uninterrupted run
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    assert [tuple(r) for r in e2.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    assert e2.link_dict == oracle.url_seen
+    # checkpoint dir has committed waves + manifests
+    assert os.path.exists(os.path.join(ck, "MANIFEST.jsonl"))
+
+
+def test_row_invariants_through_engine(ray_session, corpus, small_cfg):
+    """Decoded-pixel + caption-equality invariant checked in the Ray fetch path."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    eng = CrawlEngine(corpus, small_cfg, CrawlConfig(), validate_rows=True).run()
+    assert eng.invariant_failures == 0
+
+
+def test_robots_gating(ray_session, corpus, small_cfg):
+    """With robots rules the engine and oracle agree (both treat disallowed as
+    failed fetch); rules change outcomes vs the no-robots run."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+    from rayfrontier.state.politeness import StaticRobots
+
+    rules = {"site0000.com": ("/img",)}  # block all pages (not landing) on one host
+    robots = StaticRobots(rules)
+    cfg = CrawlConfig()
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), cfg,
+        ground_truth_text(small_cfg), dictionary_set(small_cfg), robots=robots,
+    )
+    eng = CrawlEngine(corpus, small_cfg, cfg, robots=robots).run()
+    assert [tuple(r) for r in eng.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    base = CrawlEngine(corpus, small_cfg, cfg).run()
+    assert [tuple(r) for r in base.crawl_rows] != [tuple(r) for r in eng.crawl_rows]
