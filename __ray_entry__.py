@@ -1,44 +1,408 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on a deterministic synthetic
+corpus (the input_hint image+caption universe). ``queries()`` exposes every
+implemented operator/pipeline from SURVEY.md §2 plus the training-data
+additions; ``oracle_sql()`` gives DuckDB equivalents for the SQL-expressible
+ones (driver compares row-count + schema + order-insensitive value hash at
+sf=0.01; column names and float rounding are aligned on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_CORPUS_CACHE: dict[str, Any] = {}
+
+
+def _stable_schema(df, schema: dict[str, Any]) -> pa.Table:
+    """Pipelines that can legitimately return zero rows (pair finders) lose
+    their schema through empty map_groups blocks; pin it explicitly."""
+    if len(df.columns) == 0:
+        return pa.table({c: pa.array([], t) for c, t in schema.items()})
+    return pa.Table.from_pandas(df[list(schema)], preserve_index=False)
+
+
+def _corpus_dir() -> str:
+    """Deterministic synthetic corpus for the crawl/parse/score pipelines."""
+    from rayfrontier.config import DatagenConfig
+    from rayfrontier.datagen import write_corpus
+
+    d = "/tmp/rayfrontier_corpus_sf_test"
+    cfg = DatagenConfig(n_images=400, n_hosts=20)
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        write_corpus(d, cfg, use_ray=False)
+    _CORPUS_CACHE["cfg"] = cfg
+    return d
+
+
+def _crawl_engine():
+    if "engine" not in _CORPUS_CACHE:
+        from rayfrontier.config import CrawlConfig
+        from rayfrontier.pipelines.crawl import CrawlEngine
+
+        d = _corpus_dir()
+        eng = CrawlEngine(d, _CORPUS_CACHE["cfg"], CrawlConfig())
+        eng.run()
+        _CORPUS_CACHE["engine"] = eng
+    return _CORPUS_CACHE["engine"]
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _pages_ds():
+    from rayfrontier.pipelines.parse import pages_dataset_from_corpus
+
+    return pages_dataset_from_corpus(_corpus_dir())
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl (fetch→decode/strip→score→dedup→frontier) on the
+    synthetic corpus; returns the crawl log (exact sequential-parity order)."""
+    eng = _crawl_engine()
+    return eng.crawl_log_table()
+
+
+# ---------------------------------------------------------------------- queries
+
+
+def _q_sentences(sf_dir: str):
+    from rayfrontier.pipelines.parse import elements_dataset, sentences_dataset
+
+    ds = sentences_dataset(elements_dataset(_pages_ds()))
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_elements(sf_dir: str):
+    from rayfrontier.pipelines.parse import elements_dataset
+
+    return pa.Table.from_pandas(elements_dataset(_pages_ds()).to_pandas(), preserve_index=False)
+
+
+def _q_rule_stats(sf_dir: str):
+    from rayfrontier.pipelines.parse import elements_dataset, rule_stats, sentences_dataset
+
+    ds = rule_stats(sentences_dataset(elements_dataset(_pages_ds())))
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_sentence_lengths(sf_dir: str):
+    from rayfrontier.pipelines.parse import (
+        elements_dataset,
+        sentence_length_stats,
+        sentences_dataset,
+    )
+
+    ds = sentence_length_stats(sentences_dataset(elements_dataset(_pages_ds())))
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_list_stats(sf_dir: str):
+    from rayfrontier.pipelines.parse import elements_dataset, list_stats
+
+    ds = list_stats(elements_dataset(_pages_ds()))
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_scores(sf_dir: str):
+    from rayfrontier.datagen import dictionary_set, ground_truth_text
+    from rayfrontier.pipelines.score import scores_dataset
+
+    _corpus_dir()
+    cfg = _CORPUS_CACHE["cfg"]
+    ds = scores_dataset(_pages_ds(), ground_truth_text(cfg), dictionary_set(cfg))
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    from rayfrontier.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir)).select_columns(["keep_id", "n_copies"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_docs_minhash_pairs(sf_dir: str):
+    from rayfrontier.pipelines.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5)
+    return _stable_schema(
+        out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
+    )
+
+
+def _q_docs_simhash_pairs(sf_dir: str):
+    from rayfrontier.pipelines.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs(sf_dir), max_hamming=8)
+    return _stable_schema(
+        out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "hamming": pa.int64()}
+    )
+
+
+def _q_embed_dups(sf_dir: str):
+    import ray.data as rd
+
+    from rayfrontier.pipelines.dedup import embedding_dups
+
+    em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_dups(em, cos_threshold=0.9)
+    return _stable_schema(
+        out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "cos": pa.float64()}
+    )
+
+
+def _load_query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    row = t.filter(pc.equal(t["vec_id"], 0))
+    return np.asarray(row["embedding"][0].as_py(), dtype=np.float64)
+
+
+def _q_knn_brute(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayfrontier.pipelines.similarity import brute_force_knn
+
+    em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    em = em.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+    q = _load_query_vec(sf_dir)
+    out = brute_force_knn(em, q[None, :], k=10)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = t.select(["vec_id", "cos"])
+    from rayfrontier.functions.rounding import quantize_cols
+
+    return quantize_cols(t, {"cos": 6})
+
+
+def _q_knn_ivf(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayfrontier.pipelines.similarity import ivf_knn
+
+    em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    em = em.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+    q = _load_query_vec(sf_dir)
+    out = ivf_knn(em, q[None, :], k=10, n_centroids=16, nprobe=8)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["vec_id", "cos"])
+
+
+def _q_docs_word_count(sf_dir: str):
+    from rayfrontier.pipelines.textstats import token_counts
+
+    out = token_counts(_docs(sf_dir)).select_columns(["doc_id", "ws_tokens"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_docs_quality(sf_dir: str):
+    from rayfrontier.functions.rounding import quantize_cols
+    from rayfrontier.pipelines.textstats import quality_stats
+
+    out = quality_stats(_docs(sf_dir))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return quantize_cols(
+        t, {c: 6 for c in ("punct_ratio", "upper_ratio", "stop_ratio", "mean_word_len")}
+    )
+
+
+def _q_docs_langid(sf_dir: str):
+    from rayfrontier.pipelines.textstats import langid
+
+    return pa.Table.from_pandas(langid(_docs(sf_dir)).to_pandas(), preserve_index=False)
+
+
+def _q_docs_fingerprints(sf_dir: str):
+    from rayfrontier.pipelines.textstats import fingerprints
+
+    return pa.Table.from_pandas(fingerprints(_docs(sf_dir)).to_pandas(), preserve_index=False)
+
+
+def _q_url_canonicalize(sf_dir: str):
+    """Canonicalizer over synthetic URLs derived from documents (M1 north-rule
+    extension; pure-kernel check is in pytest — this exposes it as a query)."""
+    import ray.data as rd
+
+    from rayfrontier.functions.urltools import canonicalize, host_of
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        urls = [
+            f"HTTP://{s.upper()}.Example.COM:80/a/../docs/{d}?b=2&a=1#frag"
+            for s, d in zip(t["source"].to_pylist(), t["doc_id"].to_pylist())
+        ]
+        canon = [canonicalize(u) for u in urls]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "canon_url": pa.array(canon, pa.string()),
+                "host": pa.array([host_of(c) for c in canon], pa.string()),
+            }
+        )
+
+    return pa.Table.from_pandas(ds.map_batches(stage, batch_format="pyarrow").to_pandas(), preserve_index=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayfrontier.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator families (SQL-checked)
+        "pricing_summary": R.q_pricing_summary,
+        "top_orders": R.q_top_orders,
+        "mkt_revenue": R.q_mkt_revenue,
+        "order_status_counts": R.q_order_status_counts,
+        "acctbal_band": R.q_acctbal_band,
+        "distinct_event_types": R.q_distinct_event_types,
+        "event_hourly": R.q_event_hourly,
+        "top_lineitems_per_flag": R.q_top_lineitems_per_flag,
+        "supplier_nation": R.q_supplier_nation,
+        "part_name_kernel": R.q_part_name_kernel,
+        # documents / training-data operators (SQL-checked where expressible)
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_word_count": _q_docs_word_count,
+        "docs_quality": _q_docs_quality,
+        "knn_brute": _q_knn_brute,
+        # rows-only (no faithful ANSI-SQL equivalent)
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "embed_dups": _q_embed_dups,
+        "knn_ivf": _q_knn_ivf,
+        "docs_langid": _q_docs_langid,
+        "docs_fingerprints": _q_docs_fingerprints,
+        "url_canonicalize": _q_url_canonicalize,
+        # crawl / parse / verify pipelines on the synthetic input_hint corpus
+        "crawl_log": lambda sf: _crawl_engine().crawl_log_table(),
+        "crawl_url_seen": lambda sf: _crawl_engine().url_seen_table(),
+        "crawl_domains": lambda sf: _crawl_engine().domains_table(),
+        "parse_elements": _q_elements,
+        "parse_sentences": _q_sentences,
+        "rule_stats": _q_rule_stats,
+        "sentence_length_stats": _q_sentence_lengths,
+        "list_stats": _q_list_stats,
+        "verify_scores": _q_scores,
+    }
+
+
+_EN_STOP_SQL = "the|and|of|to|a|in|is|that|for|it"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)  AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+                   round(avg(l_discount), 6)  AS avg_disc,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        """,
+        "mkt_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "order_status_counts": """
+            SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+        """,
+        "acctbal_band": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_acctbal BETWEEN 4000.0 AND 6000.0
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "event_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "top_lineitems_per_flag": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                     ) AS rn
+              FROM lineitem
+            ) WHERE rn <= 3
+        """,
+        "supplier_nation": """
+            SELECT r_name,
+                   count(*) AS n_suppliers,
+                   round(avg(s_acctbal), 4) AS avg_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "part_name_kernel": """
+            SELECT p_partkey,
+                   lower(p_name) AS name_lower,
+                   contains(lower(p_name), 'green') AS has_green,
+                   len(regexp_extract_all(p_name, '\\S+')) AS n_words
+            FROM part
+        """,
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "docs_word_count": """
+            SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS ws_tokens
+            FROM documents
+        """,
+        "docs_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\\S+')) AS n_words,
+                   round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(regexp_extract_all(text, '[A-Z]')) * 1.0
+                         / greatest(length(text), 1), 6) AS upper_ratio,
+                   round(len(regexp_extract_all(text, '(?i)\\b(?:{_EN_STOP_SQL})\\b')) * 1.0
+                         / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS stop_ratio,
+                   round(len(regexp_extract_all(text, '\\S')) * 1.0
+                         / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS mean_word_len
+            FROM documents
+        """,
+        "knn_brute": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

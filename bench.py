@@ -1,0 +1,219 @@
+"""Benchmark runner (driver contract).
+
+Plain run: one fresh Ray session at $RAY_GRAFT_CPUS (default 32) over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1); prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "frontier_urls_per_sec": ...}
+
+--scaling: runs the headline crawl pipeline twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warmed)
+input and prints both throughputs + scaling efficiency (T32/T8)/4 — the
+sandbox evidence for the north rule's N→4N cluster criterion.
+
+The headline metric is BASELINE.json's: frontier URLs fetched+parsed per
+second over the synthetic image+caption corpus (a scale model of the 10^10-URL
+frontier), measured over the full crawl engine (waves, politeness, cuckoo
+probes, keyed parquet lookups, artifact actor pools).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/rayfrontier_bench_corpus")
+
+# bench-scale synthetic corpus (scale model of the 10^10 frontier)
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "60000"))
+N_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "1200"))
+
+
+def _bench_cfgs():
+    from rayfrontier.config import CrawlConfig, DatagenConfig
+
+    dcfg = DatagenConfig(
+        n_images=N_IMAGES, n_hosts=N_HOSTS, n_shards=32, links_per_page=(2, 8)
+    )
+    ccfg = CrawlConfig(per_host_wave_cap=1024, host_tokens_per_wave=1024, wave_url_cap=1_000_000)
+    return dcfg, ccfg
+
+
+def ensure_corpus() -> None:
+    from rayfrontier.datagen import write_corpus
+
+    dcfg, _ = _bench_cfgs()
+    marker = os.path.join(BENCH_CORPUS, "meta.json")
+    if not os.path.exists(marker):
+        write_corpus(BENCH_CORPUS, dcfg, use_ray=True)
+    # warm the page cache so both scaling runs see memory-speed reads
+    total = 0
+    for root, _dirs, files in os.walk(BENCH_CORPUS):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fp:
+                total += len(fp.read())
+
+
+def _warm_workers() -> None:
+    """Spin up Ray worker processes outside the timed section (analogous to
+    warming the OS page cache — we measure compute+shuffle, not process forks)."""
+    import ray
+    import ray.data as rd
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+    rd.range(n * 1000, override_num_blocks=n).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def run_crawl_bench() -> dict:
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    dcfg, ccfg = _bench_cfgs()
+    _warm_workers()
+    t0 = time.time()
+    eng = CrawlEngine(BENCH_CORPUS, dcfg, ccfg)
+    eng.run()
+    sec = time.time() - t0
+    eng.shutdown()
+    n_urls = len(eng.crawl_rows) + len(eng.domains)  # link attempts + landings
+    return {
+        "sec": sec,
+        "urls": n_urls,
+        "pages_fetched": len(eng.fetched_ids),
+        "urls_per_sec": n_urls / sec,
+    }
+
+
+def run_query_bench() -> dict:
+    """Per-pipeline wall times over $GRAFT_SF_DIR (the operator suite)."""
+    import __ray_entry__ as e
+
+    out = {}
+    qs = e.queries()
+    for name in (
+        "pricing_summary",
+        "top_orders",
+        "mkt_revenue",
+        "event_hourly",
+        "top_lineitems_per_flag",
+        "docs_exact_dedup",
+        "docs_quality",
+        "docs_word_count",
+        "knn_brute",
+        "docs_minhash_pairs",
+        "docs_langid",
+    ):
+        t0 = time.time()
+        qs[name](SF_DIR)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    ensure_corpus()
+    crawl = run_crawl_bench()
+    queries = run_query_bench()
+    result = {
+        "metric": "frontier URLs fetched+parsed per second (synthetic image+caption corpus)",
+        "value": round(crawl["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "frontier_urls_per_sec": round(crawl["urls_per_sec"], 2),
+        "pages_fetched": crawl["pages_fetched"],
+        "crawl_urls": crawl["urls"],
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    # pre-generate + warm cache once, outside the timed runs
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ensure_corpus()
+    ray.shutdown()
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY_CRAWL="1",
+        )
+        out = subprocess.run(
+            [sys.executable, __file__, "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["sec"], r_hi["sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": round(t_lo, 3),
+                "sec_hi": round(t_hi, 3),
+                "urls_per_sec_lo": round(r_lo["urls_per_sec"], 2),
+                "urls_per_sec_hi": round(r_hi["urls_per_sec"], 2),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def crawl_only() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    ensure_corpus()
+    print(json.dumps(run_crawl_bench()))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--crawl-only" in sys.argv:
+        crawl_only()
+    else:
+        main()

@@ -503,8 +503,8 @@ def write_corpus(out_dir: str, cfg: DatagenConfig, use_ray: bool = True) -> None
             def __init__(self):
                 self.hm = HostMap(cfg_ref)
 
-            def __call__(self, batch: dict) -> pa.Table:
-                rows = [gen_row(cfg_ref, int(i), self.hm) for i in batch["id"]]
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                rows = [gen_row(cfg_ref, int(i), self.hm) for i in batch["id"].to_pylist()]
                 t = rows_to_table(rows)
                 import pyarrow.compute as pc  # noqa: F401
 
@@ -513,7 +513,9 @@ def write_corpus(out_dir: str, cfg: DatagenConfig, use_ray: bool = True) -> None
                 )
                 return t.append_column("shard", shards)
 
-        ds = rd.range(cfg.n_images).map_batches(GenShard, batch_format="pyarrow", batch_size=2048)
+        ds = rd.range(cfg.n_images).map_batches(
+            GenShard, batch_format="pyarrow", batch_size=1024, concurrency=(1, 16)
+        )
         ds.write_parquet(pages_dir, partition_cols=["shard"])
     else:
         hm = HostMap(cfg)

@@ -313,8 +313,6 @@ class CrawlEngine:
         import ray.data as rd
         import pyarrow.dataset as pads
 
-        from ..stages.fetchparse import PageArtifactStage
-
         actors = self._ensure_actors()
 
         # cuckoo probe (batched per shard) — verify hits against exact cache
@@ -342,19 +340,19 @@ class CrawlEngine:
         cols = ["image_id", "caption"]
         if self.validate_rows:
             cols = ["image_id", "caption", "bytes", "fmt", "w", "h", "phash"]
+        from ..stages.fetchparse import make_artifact_fn
+
         ds = rd.read_parquet(paths, columns=cols, filter=pads.field("image_id").isin(to_fetch))
         arts = ds.map_batches(
-            PageArtifactStage,
-            fn_constructor_kwargs={
-                "ground_truth": actors["gt"],
-                "dictionary": actors["dict"],
-                "keywords": self.cfg.keywords,
-                "word_percentage": self.cfg.word_percentage,
-                "char_percentage": self.cfg.char_percentage,
-            },
+            make_artifact_fn(
+                actors["gt"],
+                actors["dict"],
+                self.cfg.keywords,
+                self.cfg.word_percentage,
+                self.cfg.char_percentage,
+            ),
             batch_format="pyarrow",
             batch_size=512,
-            concurrency=(1, 8),
         )
         if self.validate_rows:
             from ..stages.fetchparse import DecodeCheckStage
@@ -559,6 +557,15 @@ class CrawlEngine:
                 raise RuntimeError("crawl stalled: pending URLs but nothing admitted")
             wave += 1
         return self
+
+    def shutdown(self) -> None:
+        """Kill this engine's pinned actors (seen shards, politeness)."""
+        if self._actors:
+            import ray
+
+            for a in self._actors["seen"] + self._actors["politeness"]:
+                ray.kill(a)
+            self._actors = None
 
     # -- outputs -------------------------------------------------------------------
     def crawl_log_table(self) -> pa.Table:

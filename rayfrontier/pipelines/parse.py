@@ -1,0 +1,210 @@
+"""Parser-tokenizer pipeline (reference ``src/parser-tokenizer.py`` §3.2).
+
+pages(doc_id, html) → elements table → sentences table → stats aggregations,
+entirely as Ray Data transforms:
+
+    pages.map_batches(ElementsStage)            # stateless DOM walk per doc
+         .filter(parse_ok)  [derived]           # compare_parsed_text gate
+    elements.map_batches(SentencesStage)        # explode p/h → sentence rows,
+                                                # rule tagging (vectorizable
+                                                # regexes compiled per actor)
+    sentences → groupby aggregations            # A4 rule hits, A6 lengths, A8
+
+The reference writes CSVs per document from a process pool
+(``parser-tokenizer.py:239-327``); here each table is one Dataset and ordering
+is carried by (doc_id, seq_idx, sent_idx) columns instead of file order.
+
+Neighbor context reproduces the reference's quirk: ``seq_list[i-1]`` at i=0 is
+Python's ``[-1]`` — the *last* element (``parser-tokenizer.py:209-218``); only
+the high end yields "None".
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.minihtml import compare_parsed_text, strip_text, walk_elements
+from ..functions.textrules import (
+    DEFAULT_RULES_JSON,
+    apply_sentence_rules,
+    build_rule_dict,
+    split_sentences,
+)
+
+_LEFTOVER_LIMIT = 5  # >5 leftover sentences ⇒ parse failed (parser-tokenizer.py:304-317)
+
+
+def neighbor_label(elements: list[tuple[str, str, int]], i: int, off: int) -> str:
+    """tag_type+tag_index of seq_list[i+off] with the reference's wraparound."""
+    j = i + off
+    if j >= len(elements):
+        return "None"
+    # negative j wraps (Python indexing) — deliberate parity with the reference
+    e = elements[j]
+    return e[1] + str(e[2])
+
+
+class ElementsStage:
+    """pages → one row per parsed element + per-doc parse_ok flag."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        out = {k: [] for k in ("doc_id", "seq_idx", "tag", "tag_idx", "prec_by", "proc_by", "text", "parse_ok", "n_leftover")}
+        for doc_id, html in zip(doc_ids, htmls):
+            auto = strip_text(html)
+            if html == "" or auto == "":
+                continue  # reference skips empty inputs (parser-tokenizer.py:256-263)
+            els = walk_elements(html)
+            leftover = compare_parsed_text(els, auto)
+            ok = len(leftover) <= _LEFTOVER_LIMIT
+            for i, (text, tag, tag_idx) in enumerate(els):
+                out["doc_id"].append(doc_id)
+                out["seq_idx"].append(i)
+                out["tag"].append(tag)
+                out["tag_idx"].append(tag_idx)
+                out["prec_by"].append(neighbor_label(els, i, -1))
+                out["proc_by"].append(neighbor_label(els, i, +1))
+                out["text"].append(text)
+                out["parse_ok"].append(ok)
+                out["n_leftover"].append(len(leftover))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "seq_idx": pa.array(out["seq_idx"], pa.int32()),
+                "tag": pa.array(out["tag"], pa.string()),
+                "tag_idx": pa.array(out["tag_idx"], pa.int32()),
+                "prec_by": pa.array(out["prec_by"], pa.string()),
+                "proc_by": pa.array(out["proc_by"], pa.string()),
+                "text": pa.array(out["text"], pa.large_string()),
+                "parse_ok": pa.array(out["parse_ok"]),
+                "n_leftover": pa.array(out["n_leftover"], pa.int32()),
+            }
+        )
+
+
+class SentencesStage:
+    """element rows (p/h, parse_ok) → sentence rows with rule hits.
+
+    Rule dict compiled once per actor (__init__), applied per batch —
+    reference recompiles nothing but re-reads rules per run
+    (``parser-tokenizer.py:357``).
+    """
+
+    def __init__(self, rules_json: str = DEFAULT_RULES_JSON):
+        self.rules = build_rule_dict(rules_json)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id", "seq_idx", "tag", "prec_by", "proc_by", "sent_idx", "text", "n_words", "rule_hits")}
+        for k in range(batch.num_rows):
+            tag = batch["tag"][k].as_py()
+            if tag not in ("p", "h") or not batch["parse_ok"][k].as_py():
+                continue
+            content = batch["text"][k].as_py()
+            tag_label = tag + str(batch["tag_idx"][k].as_py())
+            for j, sent in enumerate(split_sentences(content)):
+                hits = apply_sentence_rules(sent, self.rules)
+                out["doc_id"].append(batch["doc_id"][k].as_py())
+                out["seq_idx"].append(batch["seq_idx"][k].as_py())
+                out["tag"].append(tag_label)
+                out["prec_by"].append(batch["prec_by"][k].as_py())
+                out["proc_by"].append(batch["proc_by"][k].as_py())
+                out["sent_idx"].append(j)
+                out["text"].append(sent)
+                out["n_words"].append(len(sent.split()))
+                out["rule_hits"].append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "seq_idx": pa.array(out["seq_idx"], pa.int32()),
+                "tag": pa.array(out["tag"], pa.string()),
+                "prec_by": pa.array(out["prec_by"], pa.string()),
+                "proc_by": pa.array(out["proc_by"], pa.string()),
+                "sent_idx": pa.array(out["sent_idx"], pa.int32()),
+                "text": pa.array(out["text"], pa.large_string()),
+                "n_words": pa.array(out["n_words"], pa.int32()),
+                "rule_hits": pa.array(out["rule_hits"], pa.list_(pa.string())),
+            }
+        )
+
+
+def pages_dataset_from_corpus(corpus_dir: str):
+    """Synthetic corpus pages → (doc_id, html) Dataset (caption = the document)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{corpus_dir}/pages", columns=["image_id", "caption"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["image_id"], "html": t["caption"]}),
+        batch_format="pyarrow",
+    )
+
+
+def elements_dataset(pages):
+    return pages.map_batches(ElementsStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+
+def sentences_dataset(elements, rules_json: str = DEFAULT_RULES_JSON):
+    return elements.map_batches(
+        SentencesStage,
+        fn_constructor_kwargs={"rules_json": rules_json},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def rule_stats(sentences):
+    """A4: per-doc per-rule hit counts — explode + pre-aggregate + groupby."""
+    import pyarrow.compute as pc  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        # flatten rule_hits, repeat doc_id; then PARTIAL-aggregate within the
+        # batch so the shuffle moves (doc,rule) partials, not sentence rows
+        lengths = pc.list_value_length(t["rule_hits"]).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(t["rule_hits"])
+        doc = pa.array(
+            [d for d, n in zip(t["doc_id"].to_pylist(), lengths) for _ in range(int(n))],
+            pa.string(),
+        )
+        part = pa.table({"doc_id": doc, "rule": flat})
+        agg = part.group_by(["doc_id", "rule"]).aggregate([("rule", "count")])
+        return agg.rename_columns(["doc_id", "rule", "hits_part"])
+
+    import pyarrow.compute as pc
+
+    partials = sentences.map_batches(explode, batch_format="pyarrow")
+    return partials.groupby(["doc_id", "rule"]).aggregate(Sum("hits_part", alias_name="hits"))
+
+
+def sentence_length_stats(sentences):
+    """A6: per-doc sentence-length distribution (mean/max/count)."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    return sentences.groupby("doc_id").aggregate(
+        Count(alias_name="n_sentences"),
+        Mean("n_words", alias_name="mean_words"),
+        Max("n_words", alias_name="max_words"),
+    )
+
+
+def list_stats(elements):
+    """A8: lists per doc + avg items per list (items = newline count,
+    ``src/statistics/lists.py:24-51``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean
+
+    def items(t: pa.Table) -> pa.Table:
+        lists_only = t.filter(pc.equal(t["tag"], "l"))
+        n_items = pc.count_substring(lists_only["text"], "\n")
+        return pa.table(
+            {
+                "doc_id": lists_only["doc_id"],
+                "n_items": pa.array(n_items.to_numpy(zero_copy_only=False), pa.int64()),
+            }
+        )
+
+    per_list = elements.map_batches(items, batch_format="pyarrow")
+    return per_list.groupby("doc_id").aggregate(
+        Count(alias_name="n_lists"), Mean("n_items", alias_name="avg_items")
+    )

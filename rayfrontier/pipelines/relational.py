@@ -1,0 +1,210 @@
+"""Relational operator demos over the driver testdata (TPC-H-ish tables).
+
+Each function maps one SURVEY.md §2 operator family onto the generic tables so
+the driver's DuckDB oracle can verify it end-to-end (CORRECTNESS gate):
+groupby aggregation (A1-A3, A10), classification counts (A2), sort+limit
+top-k (O1/O4), band filter (A9), broadcast join (J3), exact dedup first-wins
+(D4), distinct (D1), per-group top-k (O4 per-host heap), tumbling windows
+(events), string kernels (§2.9).
+
+Float discipline: every float aggregate is rounded identically here and in
+the paired oracle SQL (__ray_entry__.oracle_sql) so order-insensitive value
+hashes match despite summation-order differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+from rayfrontier.functions.rounding import quantize_cols as _round_cols
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered groupby with sum/mean/count aggregates.
+
+    Pre-aggregation happens inside Ray's hash aggregate; revenue computed
+    vectorized per batch (zero-copy Arrow).
+    """
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        return t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
+
+    out = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_rev"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"sum_qty": 2, "sum_rev": 2, "avg_disc": 6})
+
+
+def q_top_orders(sf_dir: str, k: int = 20):
+    """Global top-k: sort + limit (the frontier's priority-queue shape)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_mkt_revenue(sf_dir: str):
+    """Broadcast hash join (small customer side via ray.put) + groupby.
+
+    The shuffle-free join pattern from SURVEY.md J3: the dimension table rides
+    inside each actor; only the grouped partials shuffle.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join_seg(df: pd.DataFrame) -> pd.DataFrame:
+        # broadcast dimension lookup: ray.get hits the local object store
+        # (zero-copy-ish); plain tasks avoid actor-pool spin-up for a one-shot
+        seg = pd.Series(ray.get(seg_map_ref))
+        df["c_mktsegment"] = df["o_custkey"].map(seg)  # vectorized lookup
+        return df[df["c_mktsegment"].notna()]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(join_seg, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"revenue": 2})
+
+
+def q_order_status_counts(sf_dir: str):
+    """A2 domain-outcome analog: classify + count per class."""
+    from ray.data.aggregate import Count
+
+    out = _read(sf_dir, "orders", ["o_orderstatus"]).groupby("o_orderstatus").aggregate(
+        Count(alias_name="n")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_acctbal_band(sf_dir: str, lo: float = 4000.0, hi: float = 6000.0):
+    """A9 borderline-band filter: vectorized predicate inside map_batches."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    out = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["c_acctbal"], pa.scalar(lo)), pc.less_equal(t["c_acctbal"], pa.scalar(hi)))
+        ),
+        batch_format="pyarrow",
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_distinct_event_types(sf_dir: str):
+    """D-family distinct (shuffle on one small column only)."""
+    out = _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(out), pa.string())})
+
+
+def q_event_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: floor-to-hour inside
+    map_batches (vectorized), then a grouped aggregate — the engine's
+    windowed-aggregate idiom (SURVEY.md §2.11 / ray_guide streaming-shaped)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"sum_value": 4})
+
+
+def q_top_lineitems_per_flag(sf_dir: str, k: int = 3):
+    """Per-group top-k via groupby().map_groups — the per-host heap shape."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
+        ).head(k)
+
+    out = ds.groupby("l_returnflag").map_groups(topk, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_supplier_nation(sf_dir: str):
+    """Two-level broadcast join chain (supplier→nation→region) + aggregate."""
+    import ray
+    from ray.data.aggregate import Count, Mean
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(region["r_regionkey"], region["r_name"]))
+    nmap = {
+        int(k): (v, n2r.get(int(rk), None))
+        for k, v, rk in zip(nation["n_nationkey"], nation["n_name"], nation["n_regionkey"])
+    }
+    ref = ray.put(nmap)
+
+    def join_nation(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        pairs = [m.get(int(x), (None, None)) for x in t["s_nationkey"].to_pylist()]
+        t = t.append_column("n_name", pa.array([p[0] for p in pairs], pa.string()))
+        return t.append_column("r_name", pa.array([p[1] for p in pairs], pa.string()))
+
+    out = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(join_nation, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Mean("s_acctbal", alias_name="avg_bal"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"avg_bal": 4})
+
+
+def q_part_name_kernel(sf_dir: str):
+    """String kernels (§2.9): lower/contains/split-count via pyarrow compute."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["p_name"])
+        has = pc.match_substring(low, "green")
+        n_words = pc.count_substring_regex(t["p_name"], r"\S+")
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "name_lower": low,
+                "has_green": has,
+                "n_words": pa.array(n_words.to_numpy(zero_copy_only=False), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(stage, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

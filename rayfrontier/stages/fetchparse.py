@@ -78,6 +78,35 @@ class PageArtifactStage:
         )
 
 
+_WORKER_STATE: dict = {}
+
+
+def make_artifact_fn(gt_ref, dict_ref, keywords, word_percentage, char_percentage):
+    """Task-based variant of PageArtifactStage for the per-wave fetch path.
+
+    The crawl engine launches one small Dataset pipeline per wave; an actor
+    pool would pay its spin-up cost every wave, so the wave path uses plain
+    tasks with the (tiny) scorer state broadcast via ray.put and cached in a
+    module-level per-worker-process dict — same amortization as an actor's
+    __init__, without per-wave pool construction.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = gt_ref.hex() if hasattr(gt_ref, "hex") else str(id(gt_ref))
+        st = _WORKER_STATE.get(key)
+        if st is None:
+            import ray
+
+            st = PageArtifactStage(
+                ray.get(gt_ref), ray.get(dict_ref), keywords, word_percentage, char_percentage
+            )
+            _WORKER_STATE.clear()
+            _WORKER_STATE[key] = st
+        return st(batch)
+
+    return fn
+
+
 class DecodeCheckStage:
     """Per-row input_hint invariant: decode pixels, verify shape/PSNR/caption.
 

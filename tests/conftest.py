@@ -14,9 +14,13 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    import logging
+
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    for name in ("ray.data", "ray"):
+        logging.getLogger(name).setLevel(logging.ERROR)
     yield
     ray.shutdown()
 
