@@ -238,6 +238,125 @@ def _q_docs_fingerprints(sf_dir: str):
     return pa.Table.from_pandas(fingerprints(_docs(sf_dir)).to_pandas(), preserve_index=False)
 
 
+def _q_docs_ngram_pairs(sf_dir: str):
+    from rayfrontier.pipelines.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir), jaccard_threshold=0.5)
+    return _stable_schema(
+        out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
+    )
+
+
+def _q_image_decode_stats(sf_dir: str):
+    from rayfrontier.functions.rounding import quantize_cols
+    from rayfrontier.stages.multimodal import decode_stats
+
+    ds = decode_stats(_pages_bytes_ds())
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return quantize_cols(t, {"mean_px": 4, "std_px": 4})
+
+
+def _q_image_resize(sf_dir: str):
+    """Resize actor-pool stage; compare on (id, dims, content hash) — the
+    payload itself stays out of the driver compare."""
+    from rayfrontier.functions.hashing import fnv1a64
+    from rayfrontier.stages.multimodal import resize_images
+
+    ds = resize_images(_pages_bytes_ds(), out_w=12, out_h=10)
+
+    def digest(t: pa.Table) -> pa.Table:
+        hs = [np.int64(np.uint64(fnv1a64(b))).item() for b in t["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "w": t["w"],
+                "h": t["h"],
+                "fmt": t["fmt"],
+                "bytes_hash": pa.array(hs, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(digest, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_image_features(sf_dir: str):
+    from rayfrontier.functions.rounding import quantize
+    from rayfrontier.stages.multimodal import image_features
+
+    ds = image_features(_pages_bytes_ds(), bins=8)
+
+    def flat(t: pa.Table) -> pa.Table:
+        feats = [quantize(np.asarray(f), 6).tolist() for f in t["feature"].to_pylist()]
+        return pa.table(
+            {"image_id": t["image_id"], "feature": pa.array(feats, pa.list_(pa.float64()))}
+        )
+
+    out = ds.map_batches(flat, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_frame_sample(sf_dir: str):
+    """Synthesize a small video table (4 frames per video, packed container)
+    from corpus images, then run the frame-sampler stage (flat-map explode)."""
+    import ray.data as rd
+
+    from rayfrontier.functions.hashing import fnv1a64
+    from rayfrontier.stages.multimodal import pack_video, sample_frames
+
+    src = _pages_bytes_ds().limit(64).to_pandas().sort_values("image_id")
+    rows = []
+    chunk = 4
+    recs = src.to_dict("records")
+    for v in range(len(recs) // chunk):
+        frames = [recs[v * chunk + i]["bytes"] for i in range(chunk)]
+        fmt = recs[v * chunk]["fmt"]
+        rows.append({"video_id": f"vid{v:04d}", "bytes": pack_video(frames, fmt)})
+    vids = rd.from_items(rows)
+    out = sample_frames(vids, stride=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        hs = [np.int64(np.uint64(fnv1a64(b))).item() for b in t["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "video_id": t["video_id"],
+                "frame_idx": t["frame_idx"],
+                "fmt": t["fmt"],
+                "frame_hash": pa.array(hs, pa.int64()),
+            }
+        )
+
+    return pa.Table.from_pandas(
+        out.map_batches(digest, batch_format="pyarrow").to_pandas(), preserve_index=False
+    )
+
+
+def _pages_bytes_ds():
+    """Corpus pages with payload columns (for the multimodal stages)."""
+    import ray.data as rd
+
+    from rayfrontier.sources.storage import PagesStore
+
+    d = _corpus_dir()
+    store = PagesStore(d, _CORPUS_CACHE["cfg"].n_shards)
+    return rd.read_parquet(
+        store.shard_paths(range(_CORPUS_CACHE["cfg"].n_shards)),
+        columns=["image_id", "bytes", "w", "h", "fmt"],
+    )
+
+
+def _q_crawl_summary(sf_dir: str):
+    from rayfrontier.pipelines.report import domain_outcome_stats
+
+    return domain_outcome_stats(_crawl_engine().domains_table())
+
+
+def _q_link_outcomes(sf_dir: str):
+    from rayfrontier.pipelines.report import link_outcome_stats
+
+    return link_outcome_stats(_crawl_engine().crawl_log_table())
+
+
 def _q_url_canonicalize(sf_dir: str):
     """Canonicalizer over synthetic URLs derived from documents (M1 north-rule
     extension; pure-kernel check is in pytest — this exposes it as a query)."""
@@ -279,12 +398,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_lineitems_per_flag": R.q_top_lineitems_per_flag,
         "supplier_nation": R.q_supplier_nation,
         "part_name_kernel": R.q_part_name_kernel,
+        "customer_no_orders": R.q_customer_no_orders,
+        "lineitem_quantiles": R.q_lineitem_quantiles,
+        "user_sessions": R.q_user_sessions,
+        "click_last_purchase": R.q_click_last_purchase,
         # documents / training-data operators (SQL-checked where expressible)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_word_count": _q_docs_word_count,
         "docs_quality": _q_docs_quality,
         "knn_brute": _q_knn_brute,
         # rows-only (no faithful ANSI-SQL equivalent)
+        "docs_ngram_pairs": _q_docs_ngram_pairs,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "embed_dups": _q_embed_dups,
@@ -292,10 +416,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": _q_docs_langid,
         "docs_fingerprints": _q_docs_fingerprints,
         "url_canonicalize": _q_url_canonicalize,
+        # multimodal actor-pool stages (synthetic corpus payloads)
+        "image_decode_stats": _q_image_decode_stats,
+        "image_resize": _q_image_resize,
+        "image_features": _q_image_features,
+        "frame_sample": _q_frame_sample,
         # crawl / parse / verify pipelines on the synthetic input_hint corpus
         "crawl_log": lambda sf: _crawl_engine().crawl_log_table(),
         "crawl_url_seen": lambda sf: _crawl_engine().url_seen_table(),
         "crawl_domains": lambda sf: _crawl_engine().domains_table(),
+        "crawl_summary": _q_crawl_summary,
+        "link_outcomes": _q_link_outcomes,
         "parse_elements": _q_elements,
         "parse_sentences": _q_sentences,
         "rule_stats": _q_rule_stats,
@@ -374,6 +505,48 @@ def oracle_sql() -> dict[str, str]:
                    contains(lower(p_name), 'green') AS has_green,
                    len(regexp_extract_all(p_name, '\\S+')) AS n_words
             FROM part
+        """,
+        "customer_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            ANTI JOIN orders ON c_custkey = o_custkey
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.5)  AS p50,
+                   quantile_disc(l_extendedprice, 0.9)  AS p90,
+                   quantile_disc(l_extendedprice, 0.99) AS p99
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "user_sessions": """
+            SELECT user_id, session_id,
+                   count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+            FROM (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_id
+              FROM (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              )
+            )
+            GROUP BY user_id, session_id
+        """,
+        "click_last_purchase": """
+            SELECT event_id, user_id, ts, last_purchase_ts
+            FROM (
+              SELECT event_id, user_id, ts, event_type,
+                     max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS last_purchase_ts
+              FROM events
+            ) WHERE event_type = 'click'
         """,
         "docs_exact_dedup": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -277,3 +277,113 @@ def embedding_dups(embeds, cos_threshold: float = 0.95, id_col: str = "vec_id"):
     sk = embeds.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
     pairs = sk.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
     return pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+
+
+def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df: int = 256):
+    """Exact n-gram Jaccard similarity join via a distributed inverted index.
+
+    Unlike :func:`minhash_lsh_pairs` (probabilistic candidates, exact verify),
+    this computes |A∩B| exactly from shingle postings — no sketch error:
+
+      1. per doc: unique k-word shingle hashes → postings rows
+         ``(shingle_hash, doc_id)`` + doc sizes ``(doc_id, n_shingles)``
+      2. groupby(shingle_hash): each posting list of length m emits its
+         m·(m-1)/2 doc pairs (one row per co-occurrence)
+      3. groupby(a, b).count() = |A∩B|; Jaccard from the broadcast size map:
+         ``common / (|A| + |B| - common)``
+
+    ``max_df`` caps posting-list length (stop-shingle guard — the skew salt
+    of SURVEY.md §4): shingles appearing in > max_df docs are dropped, which
+    can only *under*-count intersections of pairs whose overlap is entirely
+    stop-shingles; with thresholds ≥ 0.5 such pairs are not near-dups.
+    Shuffles carry only (uint64, int64) rows — never text.
+    """
+    import ray
+
+    def postings(t: pa.Table) -> pa.Table:
+        sh_out, id_out = [], []
+        sizes_id, sizes_n = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = shingle_hashes(text, k)
+            sizes_id.append(doc_id)
+            sizes_n.append(int(sh.size))
+            sh_out.append(sh.astype(np.int64))
+            id_out.append(np.full(sh.size, doc_id, dtype=np.int64))
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(sh_out) if sh_out else [], pa.int64()),
+                "doc_id": pa.array(np.concatenate(id_out) if id_out else [], pa.int64()),
+            }
+        )
+
+    # doc sizes: small (one int per doc) → broadcast
+    sizes_df = (
+        docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_shingles": pa.array(
+                        [int(shingle_hashes(x, k).size) for x in t["text"].to_pylist()],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_shingles"])))
+
+    NPART = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = np.bitwise_and(np.abs(t["shingle"].to_numpy(zero_copy_only=False)), NPART - 1)
+        return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for _sh, grp in g.groupby("shingle", sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            m = ids.size
+            if m < 2 or m > max_df:
+                continue
+            iu = np.triu_indices(m, 1)
+            a_out.append(ids[iu[0]])
+            b_out.append(ids[iu[1]])
+        if not a_out:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(a_out), "b": np.concatenate(b_out)})
+
+    from ray.data.aggregate import Count
+
+    co = (
+        docs.map_batches(postings, batch_format="pyarrow", batch_size=1024)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="common"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        common = t["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.fromiter((sizes[x] for x in a), dtype=np.float64, count=len(a))
+        nb = np.fromiter((sizes[x] for x in b), dtype=np.float64, count=len(b))
+        union = np.maximum(na + nb - common, 1.0)
+        jac = common / union
+        out = pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(jaccard_threshold)))
+
+    return co.map_batches(score, batch_format="pyarrow")

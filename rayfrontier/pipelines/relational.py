@@ -208,3 +208,123 @@ def q_part_name_kernel(sf_dir: str):
 
     out = ds.map_batches(stage, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_customer_no_orders(sf_dir: str):
+    """Anti-join (SURVEY.md J4): customers with no orders.
+
+    The probe side (distinct o_custkey) is the small side here, so it ships
+    once via ray.put and each batch filters locally — the same broadcast
+    anti-join the crawl engine uses for its URL-seen probe. At 100 TB the
+    probe set becomes the sharded seen-set actor pool instead.
+    """
+    import ray
+
+    keys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(have, ck)
+        idx_c = np.clip(idx, 0, len(have) - 1)
+        mask = ~((idx < len(have)) & (have[idx_c] == ck))
+        return t.filter(pa.array(mask))
+
+    out = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+    df = out.to_pandas()
+    if len(df.columns) == 0:  # all-filtered: pin schema for the driver compare
+        return pa.table({"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact per-group quantiles via groupby().map_groups (discrete quantile:
+    sorted[ceil(q*n)-1], DuckDB quantile_disc semantics)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["l_extendedprice"].to_numpy())
+        n = len(v)
+
+        def qd(q: float) -> float:
+            return float(v[min(int(np.ceil(q * n)) - 1, n - 1)])
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "p50": [qd(0.5)],
+                "p90": [qd(0.9)],
+                "p99": [qd(0.99)],
+            }
+        )
+
+    out = ds.groupby("l_returnflag").map_groups(quants, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (the streaming-window operator family, SURVEY.md §2.11):
+    per-user event stream split on >gap inactivity; one row per session.
+
+    Shuffle key = user_id (one groupby); session logic vectorized in numpy per
+    group. Deterministic tie-break (ts, event_id) on both engine and oracle.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        new_sess = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sess_id = np.cumsum(new_sess)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sess_id, "ts": ts})
+        return (
+            out.groupby(["user_id", "session_id"], as_index=False)
+            .agg(n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(
+        t.schema.get_field_index("n_events"),
+        "n_events",
+        pc.cast(t["n_events"], pa.int64()),
+    )
+
+
+def q_click_last_purchase(sf_dir: str):
+    """As-of join: for every click event, the timestamp of the same user's
+    most recent STRICTLY PRIOR purchase (SURVEY.md custom-operator case (a):
+    groupby(user) + intra-group sorted scan — no cross-group state needed
+    because the as-of key is also the partition key)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        ts = g["ts"].to_numpy()
+        # running max purchase-ts over strict predecessors
+        purchase_ts = np.where(is_p, ts, np.datetime64("NaT"))
+        prior = np.maximum.accumulate(
+            np.where(np.isnat(purchase_ts), np.datetime64(0, "us"), purchase_ts)
+        )
+        prior_shifted = np.concatenate(([np.datetime64(0, "us")], prior[:-1]))
+        mask = (g["event_type"] == "click").to_numpy()
+        res = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[mask],
+                "user_id": g["user_id"].to_numpy()[mask],
+                "ts": ts[mask],
+                "last_purchase_ts": prior_shifted[mask],
+            }
+        )
+        res.loc[res["last_purchase_ts"] == pd.Timestamp(0), "last_purchase_ts"] = pd.NaT
+        return res
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

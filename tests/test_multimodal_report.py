@@ -1,0 +1,173 @@
+"""Multimodal stages, n-gram Jaccard dedup, report aggregates, resumable sink."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayfrontier.codecs import decode_image, encode_image
+from rayfrontier.functions.hashing import jaccard, shingle_hashes
+from rayfrontier.stages.multimodal import pack_video, unpack_video
+
+
+def _images_table(n=12, seed=3):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+    for i in range(n):
+        w, h = 8 + i % 5, 6 + i % 4
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fmt = "ppm" if i % 2 == 0 else "qjpg"
+        rows["image_id"].append(f"img{i:03d}")
+        rows["bytes"].append(encode_image(px, fmt))
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["fmt"].append(fmt)
+    return pa.table(
+        {
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(rows["w"], pa.int32()),
+            "h": pa.array(rows["h"], pa.int32()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+        }
+    )
+
+
+def test_video_container_roundtrip():
+    frames = [b"abc", b"", b"\x00\x01\x02" * 10]
+    packed = pack_video(frames, "ppm")
+    out, fmt = unpack_video(packed)
+    assert out == frames and fmt == "ppm"
+
+
+def test_decode_stats_and_features(ray_session):
+    import ray.data as rd
+
+    from rayfrontier.stages.multimodal import decode_stats, image_features
+
+    t = _images_table()
+    ds = rd.from_arrow(t)
+    stats = decode_stats(ds, concurrency=(1, 2)).to_pandas().set_index("image_id")
+    assert stats["decode_ok"].all()
+    # spot-check one mean against a direct decode
+    px = decode_image(t["bytes"][0].as_py(), t["fmt"][0].as_py())
+    assert abs(stats.loc["img000", "mean_px"] - px.mean()) < 1e-9
+
+    feats = image_features(ds, bins=8, concurrency=(1, 2)).to_pandas()
+    v = np.array(feats["feature"].iloc[0])
+    assert v.shape == (24,) and abs(v.sum() - 1.0) < 1e-9  # 3×8 bins, L1-normalized
+
+
+def test_resize_dims_and_determinism(ray_session):
+    import ray.data as rd
+
+    from rayfrontier.stages.multimodal import resize_images
+
+    ds = rd.from_arrow(_images_table())
+    out = resize_images(ds, out_w=5, out_h=4, concurrency=(1, 2)).to_pandas()
+    assert (out["w"] == 5).all() and (out["h"] == 4).all()
+    for b in out["bytes"]:
+        assert decode_image(b, "ppm").shape == (4, 5, 3)
+    out2 = resize_images(rd.from_arrow(_images_table()), out_w=5, out_h=4).to_pandas()
+    m1 = dict(zip(out["image_id"], out["bytes"]))
+    m2 = dict(zip(out2["image_id"], out2["bytes"]))
+    assert m1 == m2  # deterministic under re-execution
+
+
+def test_frame_sample_explodes(ray_session):
+    import ray.data as rd
+
+    from rayfrontier.stages.multimodal import sample_frames
+
+    t = _images_table(8)
+    frames = [t["bytes"][i].as_py() for i in range(4)]
+    vids = rd.from_items(
+        [
+            {"video_id": "v0", "bytes": pack_video(frames, "ppm")},
+            {"video_id": "v1", "bytes": pack_video(frames[:3], "ppm")},
+        ]
+    )
+    out = sample_frames(vids, stride=2).to_pandas()
+    got = sorted(zip(out["video_id"], out["frame_idx"]))
+    assert got == [("v0", 0), ("v0", 2), ("v1", 0), ("v1", 2)]
+    m = dict(zip(zip(out["video_id"], out["frame_idx"]), out["bytes"]))
+    assert m[("v0", 2)] == frames[2]
+
+
+def test_ngram_jaccard_exact(ray_session):
+    import ray.data as rd
+
+    from rayfrontier.pipelines.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " ok"},  # near-dup of 1
+            {"doc_id": 3, "text": "completely different words entirely unrelated content here now"},
+            {"doc_id": 4, "text": base},  # exact dup of 1
+        ]
+    )
+    out = ngram_jaccard_pairs(docs, jaccard_threshold=0.5, k=3).to_pandas()
+    pairs = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    assert (1, 4) in pairs and pairs[(1, 4)] == pytest.approx(1.0)
+    expected_12 = jaccard(shingle_hashes(base, 3), shingle_hashes(base + " ok", 3))
+    assert pairs[(1, 2)] == pytest.approx(expected_12)
+    assert not any(3 in p for p in pairs)
+
+
+def test_report_stats_and_summary():
+    domains = pa.table(
+        {
+            "domain": ["a.com", "b.com", "c.com", "d.com"],
+            "status": ["successful", "successful", "failed_access", "no_link"],
+            "sim_avg": [0.8, 0.7, 0.0, 0.0],
+        }
+    )
+    log = pa.table(
+        {
+            "domain": ["a.com", "a.com", "b.com"],
+            "url": ["u1", "u2", "u3"],
+            "sim": [0.9, 0.1, 0.7],
+            "ok": [True, False, True],
+            "valid": [True, False, True],
+            "dup": [False, False, False],
+            "seq": [0, 1, 2],
+        }
+    )
+    from rayfrontier.pipelines.report import (
+        domain_outcome_stats,
+        link_outcome_stats,
+        summary_report,
+    )
+
+    d = domain_outcome_stats(domains).to_pandas().set_index("status")
+    assert d.loc["successful", "n"] == 2 and d.loc["successful", "pct"] == 50.0
+    l = link_outcome_stats(log).to_pylist()[0]
+    assert l["n_links"] == 3 and l["n_ok"] == 2 and l["pct_ok"] == 66.67
+    rep = summary_report(domains, log)
+    assert "a.com [successful]" in rep and "u2" in rep and "66.67" in rep
+
+
+def test_partitioned_sink_resumable(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayfrontier.pipelines.report import read_partitioned, write_partitioned
+
+    ds = rd.range(100).map_batches(
+        lambda t: t.append_column(
+            "bucket", pa.array((t["id"].to_numpy() % 4).astype(np.int32))
+        ),
+        batch_format="pyarrow",
+    )
+    m1 = write_partitioned(ds, str(tmp_path), "bucket", run_id="r1")
+    assert len(m1["partitions"]) == 4
+    back, m = read_partitioned(str(tmp_path), run_id="r1")
+    assert back.count() == 100 and m == m1
+    # second call is a no-op resume (returns committed manifest, no rewrite)
+    mtimes = {
+        p: (tmp_path / "r1" / p).stat().st_mtime_ns for p in m1["partitions"]
+    }
+    m2 = write_partitioned(ds, str(tmp_path), "bucket", run_id="r1")
+    assert m2 == m1
+    for p in m1["partitions"]:
+        assert (tmp_path / "r1" / p).stat().st_mtime_ns == mtimes[p]

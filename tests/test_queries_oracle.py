@@ -68,7 +68,9 @@ def test_rows_only_queries(entrymod):
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
         assert len(df.columns) > 0, f"{name} lost its schema"
         # pair finders can legitimately find nothing at this scale:
-        may_be_empty = {"docs_simhash_pairs", "embed_dups", "docs_minhash_pairs"}
+        may_be_empty = {
+            "docs_simhash_pairs", "embed_dups", "docs_minhash_pairs", "docs_ngram_pairs",
+        }
         if name not in may_be_empty:
             assert len(df) > 0, f"{name} returned no rows"
 
