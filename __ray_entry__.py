@@ -116,6 +116,38 @@ def _q_list_stats(sf_dir: str):
     return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 
 
+def _q_tag_paragraphs(sf_dir: str):
+    from rayfrontier.pipelines.parse import elements_dataset, tag_projection
+
+    ds = tag_projection(elements_dataset(_pages_ds()), "p")
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_sequential_text(sf_dir: str):
+    from rayfrontier.pipelines.parse import elements_dataset, sequential_text
+
+    ds = sequential_text(elements_dataset(_pages_ds()))
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_rule_histograms(sf_dir: str):
+    from rayfrontier.pipelines.parse import (
+        elements_dataset,
+        rule_histograms,
+        rule_stats,
+        sentences_dataset,
+    )
+
+    ds = rule_histograms(rule_stats(sentences_dataset(elements_dataset(_pages_ds()))))
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _q_docs_sample(sf_dir: str):
+    """O3 seeded random sampling (reference random.sample of files)."""
+    out = _docs(sf_dir).random_sample(0.1, seed=42).select_columns(["doc_id"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_scores(sf_dir: str):
     from rayfrontier.datagen import dictionary_set, ground_truth_text
     from rayfrontier.pipelines.score import scores_dataset
@@ -357,6 +389,41 @@ def _q_link_outcomes(sf_dir: str):
     return link_outcome_stats(_crawl_engine().crawl_log_table())
 
 
+def _q_domain_page_counts(sf_dir: str):
+    """A7 (domains.py:13-20 file-frequency, O(n²) there): pages per domain as
+    one distributed groupby-count over the crawl log."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    log = _crawl_engine().crawl_log_table()
+    out = rd.from_arrow(log).groupby("domain").aggregate(Count(alias_name="n_pages"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _q_accepted_pages(sf_dir: str):
+    """K1/K2: accepted policy pages (payload digest, not raw bytes)."""
+    from rayfrontier.functions.hashing import fnv1a64
+
+    ds = _crawl_engine().accepted_pages_dataset()
+
+    def digest(t: pa.Table) -> pa.Table:
+        hs = [np.int64(np.uint64(fnv1a64(b))).item() for b in t["bytes"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "domain": t["domain"],
+                "url": t["url"],
+                "sim": t["sim"],
+                "seq": t["seq"],
+                "bytes_hash": pa.array(hs, pa.int64()),
+                "n_text_chars": pa.array([len(x) for x in t["text"].to_pylist()], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(digest, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _q_url_canonicalize(sf_dir: str):
     """Canonicalizer over synthetic URLs derived from documents (M1 north-rule
     extension; pure-kernel check is in pytest — this exposes it as a query)."""
@@ -427,9 +494,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domains": lambda sf: _crawl_engine().domains_table(),
         "crawl_summary": _q_crawl_summary,
         "link_outcomes": _q_link_outcomes,
+        "domain_page_counts": _q_domain_page_counts,
+        "accepted_pages": _q_accepted_pages,
         "parse_elements": _q_elements,
         "parse_sentences": _q_sentences,
         "rule_stats": _q_rule_stats,
+        "tag_paragraphs": _q_tag_paragraphs,
+        "sequential_text": _q_sequential_text,
+        "rule_histograms": _q_rule_histograms,
+        "docs_sample": _q_docs_sample,
         "sentence_length_stats": _q_sentence_lengths,
         "list_stats": _q_list_stats,
         "verify_scores": _q_scores,

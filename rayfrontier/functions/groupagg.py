@@ -1,0 +1,95 @@
+"""High-cardinality groupby without the tiny-groups anti-pattern.
+
+Ray Data's ``groupby(keys).aggregate(...)`` pays per-GROUP scheduling/Python
+overhead: measured 161 s for a Count over 1.3M distinct ``(a, b)`` pairs on 32
+CPUs — versus <1 s for the same aggregation done vectorized inside pandas.
+Any aggregation whose group count scales with the DATA (content hashes,
+candidate pairs, URLs) must instead:
+
+  1. bucket rows into a FIXED number of coarse partitions by key hash
+     (vectorized, map-side);
+  2. ``groupby(part).map_groups(...)`` — 64 groups, not millions;
+  3. run the real aggregation vectorized (pandas/pyarrow) inside each
+     partition. Correct because the coarse key is a function of the group
+     key: every row of a group lands in the same partition.
+
+Use Ray's native groupby only when group count is small and bounded (status
+codes, rule names, hosts-per-wave).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashing import splitmix64
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _part_of(t: pa.Table, keys: list[str], nparts: int) -> np.ndarray:
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = t[k].to_numpy(zero_copy_only=False)
+        if col.dtype.kind in ("i", "u"):
+            vals = col.astype(np.uint64)
+        else:  # strings etc: hash python objects (rare path; prefer int keys)
+            vals = np.fromiter(
+                (hash(x) & 0xFFFFFFFFFFFFFFFF for x in col), dtype=np.uint64, count=len(col)
+            )
+        with np.errstate(over="ignore"):
+            acc = splitmix64(acc ^ vals)
+    return (acc % np.uint64(nparts)).astype(np.int32)
+
+
+def coarse_group_aggregate(
+    ds,
+    keys: list[str],
+    agg: Callable[[pd.DataFrame], pd.DataFrame],
+    nparts: int = 64,
+):
+    """Group ``ds`` by ``keys`` and apply the vectorized per-group aggregation
+    ``agg`` (a pandas fn applied to each coarse PARTITION — it must do its own
+    ``df.groupby(keys)`` inside, which is C-fast)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(_part_of(t, keys, nparts), pa.int32()))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return agg(g.drop(columns=["_part"]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
+        run, batch_format="pandas"
+    )
+
+
+def pair_count(ds, nparts: int = 64):
+    """count rows per (a, b) → columns (a, b, common)."""
+    return coarse_group_aggregate(
+        ds,
+        ["a", "b"],
+        lambda df: df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "common"}),
+        nparts,
+    )
+
+
+def pair_distinct(ds, nparts: int = 64):
+    """distinct (a, b) rows."""
+    return coarse_group_aggregate(
+        ds, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]), nparts
+    )
+
+
+def pair_min(ds, col: str, nparts: int = 64):
+    return coarse_group_aggregate(
+        ds, ["a", "b"], lambda df: df.groupby(["a", "b"], as_index=False)[col].min(), nparts
+    )
+
+
+def pair_max(ds, col: str, nparts: int = 64):
+    return coarse_group_aggregate(
+        ds, ["a", "b"], lambda df: df.groupby(["a", "b"], as_index=False)[col].max(), nparts
+    )

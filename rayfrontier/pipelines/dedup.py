@@ -52,12 +52,17 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    from ray.data.aggregate import Count, Min
+    from ..functions.groupagg import coarse_group_aggregate
 
-    return (
-        docs.map_batches(hash_stage, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_copies"))
+    # text_hash cardinality ≈ #docs → coarse-partitioned aggregate, never a
+    # native groupby with millions of groups (see functions/groupagg.py)
+    def first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_hash", as_index=False)
+        out = g.agg(keep_id=(id_col, "min"), n_copies=(id_col, "size"))
+        return out
+
+    return coarse_group_aggregate(
+        docs.map_batches(hash_stage, batch_format="pyarrow"), ["text_hash"], first_wins
     )
 
 
@@ -134,41 +139,53 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
     )
-    # distinct candidate pairs (a,b can surface from several bands/partitions)
-    from ray.data.aggregate import Count
+    # distinct candidate pairs (a,b can surface from several bands/partitions);
+    # pair cardinality scales with data → coarse-partitioned distinct
+    from ..functions.groupagg import pair_distinct
 
-    distinct = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    distinct = pair_distinct(pairs)
 
-    # verification: broadcast id→text (candidates only touch a small subset;
-    # at 100 TB this becomes a keyed-lookup join on (a) then (b))
-    tdf = docs.select_columns(["doc_id", "text"]).to_pandas()
-    texts_ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
-    kk = k
+    # verification: broadcast id→text as an Arrow table ref (zero-copy in the
+    # object store); each VERIFY ACTOR deserializes once in __init__ — never
+    # per batch. At 100 TB this becomes a keyed-lookup join on (a) then (b).
+    texts_ref = ray.put(docs.select_columns(["doc_id", "text"]).to_arrow_refs())
 
-    def verify(t: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)  # local object store; cached per worker by Ray
-        cache: dict[int, np.ndarray] = {}
+    class VerifyStage:
+        def __init__(self, texts_ref, k: int, threshold: float):
+            blocks = ray.get(ray.get(texts_ref))
+            tab = pa.concat_tables(blocks)
+            self.texts = dict(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()))
+            self.k = k
+            self.threshold = threshold
+            self.cache: dict[int, np.ndarray] = {}
 
-        def sh(i: int) -> np.ndarray:
-            if i not in cache:
-                cache[i] = shingle_hashes(texts[i], kk)
-            return cache[i]
+        def _sh(self, i: int) -> np.ndarray:
+            if i not in self.cache:
+                self.cache[i] = shingle_hashes(self.texts[i], self.k)
+            return self.cache[i]
 
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        jac = [jaccard(sh(x), sh(y)) for x, y in zip(a, b)]
-        out = pa.table(
-            {
-                "a": pa.array(a, pa.int64()),
-                "b": pa.array(b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
-            }
-        )
-        import pyarrow.compute as pc
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            jac = [jaccard(self._sh(x), self._sh(y)) for x, y in zip(a, b)]
+            out = pa.table(
+                {
+                    "a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            import pyarrow.compute as pc
 
-        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(jaccard_threshold)))
+            return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(self.threshold)))
 
-    return distinct.map_batches(verify, batch_format="pyarrow")
+    return distinct.map_batches(
+        VerifyStage,
+        fn_constructor_kwargs={"texts_ref": texts_ref, "k": k, "threshold": jaccard_threshold},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
 
 
 def simhash_pairs(docs, max_hamming: int = 3):
@@ -220,7 +237,7 @@ def simhash_pairs(docs, max_hamming: int = 3):
                         hm.append(d)
         return pd.DataFrame({"a": a, "b": b, "hamming": hm})
 
-    from ray.data.aggregate import Min
+    from ..functions.groupagg import pair_min
 
     sk = docs.map_batches(sketch, batch_format="pyarrow", batch_size=1024)
     pairs = (
@@ -228,7 +245,7 @@ def simhash_pairs(docs, max_hamming: int = 3):
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return pair_min(pairs, "hamming")
 
 
 def embedding_dups(embeds, cos_threshold: float = 0.95, id_col: str = "vec_id"):
@@ -272,11 +289,11 @@ def embedding_dups(embeds, cos_threshold: float = 0.95, id_col: str = "vec_id"):
                     c.append(float(sims[i, j]))
         return pd.DataFrame({"a": a, "b": b, "cos": c})
 
-    from ray.data.aggregate import Max
+    from ..functions.groupagg import pair_max
 
     sk = embeds.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
     pairs = sk.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+    return pair_max(pairs, "cos")
 
 
 def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df: int = 256):
@@ -332,7 +349,10 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
         )
         .to_pandas()
     )
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_shingles"])))
+    sizes_df = sizes_df.sort_values("doc_id")
+    # (sorted ids, sizes) numpy pair: zero-copy on every per-batch ray.get
+    size_ids_ref = ray.put(sizes_df["doc_id"].to_numpy(dtype=np.int64))
+    size_vals_ref = ray.put(sizes_df["n_shingles"].to_numpy(dtype=np.int64))
 
     NPART = 64
 
@@ -355,24 +375,23 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
             return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
         return pd.DataFrame({"a": np.concatenate(a_out), "b": np.concatenate(b_out)})
 
-    from ray.data.aggregate import Count
+    from ..functions.groupagg import pair_count
 
-    co = (
+    co = pair_count(
         docs.map_batches(postings, batch_format="pyarrow", batch_size=1024)
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="common"))
     )
 
     def score(t: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
+        ids = ray.get(size_ids_ref)
+        vals = ray.get(size_vals_ref)
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         common = t["common"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.fromiter((sizes[x] for x in a), dtype=np.float64, count=len(a))
-        nb = np.fromiter((sizes[x] for x in b), dtype=np.float64, count=len(b))
+        na = vals[np.searchsorted(ids, a)].astype(np.float64)
+        nb = vals[np.searchsorted(ids, b)].astype(np.float64)
         union = np.maximum(na + nb - common, 1.0)
         jac = common / union
         out = pa.table(

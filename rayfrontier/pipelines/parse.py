@@ -208,3 +208,62 @@ def list_stats(elements):
     return per_list.groupby("doc_id").aggregate(
         Count(alias_name="n_lists"), Mean("n_items", alias_name="avg_items")
     )
+
+
+def tag_projection(elements, tag: str):
+    """K4: the per-tag CSV shape (seq_idx, tag_idx, prec_by, proc_by, text)
+    — a pure filter+projection (``parser-tokenizer.py:71-106, 284-289``)."""
+    import pyarrow.compute as pc
+
+    def proj(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["tag"], tag))
+        return sel.select(["doc_id", "seq_idx", "tag_idx", "prec_by", "proc_by", "text"])
+
+    return elements.map_batches(proj, batch_format="pyarrow")
+
+
+def sequential_text(elements):
+    """K5: per-doc "tN\\ntext" concatenation in seq order
+    (``parser-tokenizer.py:291-296``) — intra-doc sort inside map_groups."""
+    import pandas as pd
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq_idx")
+        body = "\n".join(
+            f"{tag}{idx}\n{text}" for tag, idx, text in zip(g["tag"], g["tag_idx"], g["text"])
+        )
+        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "sequential_text": [body]})
+
+    return elements.groupby("doc_id").map_groups(concat, batch_format="pandas")
+
+
+RULE_HIST_BINS = list(range(0, 401, 10))  # reference's fixed bins (sentences.py:180)
+
+
+def rule_histograms(rule_stats_ds):
+    """A5: per-rule histogram of per-doc hit counts over fixed bins
+    [0,10,...,400] (``src/statistics/sentences.py:166-231``). The per-doc
+    counts table is already small (docs × rules); binning is a second
+    pre-aggregated groupby — no driver-side loop."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    edges = np.asarray(RULE_HIST_BINS, dtype=np.int64)
+
+    def binify(t: pa.Table) -> pa.Table:
+        hits = t["hits"].to_numpy(zero_copy_only=False)
+        b = np.clip(np.digitize(hits, edges) - 1, 0, len(edges) - 1)
+        part = pa.table(
+            {
+                "rule": t["rule"],
+                "bin_lo": pa.array(edges[b], pa.int64()),
+            }
+        )
+        agg = part.group_by(["rule", "bin_lo"]).aggregate([("bin_lo", "count")])
+        return agg.rename_columns(["rule", "bin_lo", "n_part"])
+
+    return (
+        rule_stats_ds.map_batches(binify, batch_format="pyarrow")
+        .groupby(["rule", "bin_lo"])
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )

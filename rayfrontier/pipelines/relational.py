@@ -78,19 +78,35 @@ def q_mkt_revenue(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
+    # broadcast the dimension as (sorted keys, category codes) numpy arrays:
+    # plasma-backed numpy is ZERO-COPY on every ray.get, unlike a dict which
+    # would re-unpickle per batch — the per-batch cost is just two searchsorted
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = cust.sort_values("c_custkey")
+    cats = sorted(cust["c_mktsegment"].unique())
+    code_of = {c: i for i, c in enumerate(cats)}
+    keys_ref = ray.put(cust["c_custkey"].to_numpy(dtype=np.int64))
+    codes_ref = ray.put(cust["c_mktsegment"].map(code_of).to_numpy(dtype=np.int32))
+    cats_arr = np.array(cats)
 
-    def join_seg(df: pd.DataFrame) -> pd.DataFrame:
-        # broadcast dimension lookup: ray.get hits the local object store
-        # (zero-copy-ish); plain tasks avoid actor-pool spin-up for a one-shot
-        seg = pd.Series(ray.get(seg_map_ref))
-        df["c_mktsegment"] = df["o_custkey"].map(seg)  # vectorized lookup
-        return df[df["c_mktsegment"].notna()]
+    def join_seg(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        codes = ray.get(codes_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ck)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        hit = (idx < len(keys)) & (keys[idx_c] == ck)
+        seg = cats_arr[codes[idx_c]]
+        return pa.table(
+            {
+                "o_totalprice": t["o_totalprice"],
+                "c_mktsegment": pa.array(seg, pa.string()),
+            }
+        ).filter(pa.array(hit))
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
-        orders.map_batches(join_seg, batch_format="pandas")
+        orders.map_batches(join_seg, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
     )

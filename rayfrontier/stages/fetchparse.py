@@ -81,7 +81,7 @@ class PageArtifactStage:
 _WORKER_STATE: dict = {}
 
 
-def make_artifact_fn(gt_ref, dict_ref, keywords, word_percentage, char_percentage):
+def make_artifact_fn(gt_ref, dict_ref, keywords, word_percentage, char_percentage, dcfg=None):
     """Task-based variant of PageArtifactStage for the per-wave fetch path.
 
     The crawl engine launches one small Dataset pipeline per wave; an actor
@@ -89,6 +89,10 @@ def make_artifact_fn(gt_ref, dict_ref, keywords, word_percentage, char_percentag
     tasks with the (tiny) scorer state broadcast via ray.put and cached in a
     module-level per-worker-process dict — same amortization as an actor's
     __init__, without per-wave pool construction.
+
+    With ``dcfg`` set, the SAME pass also decodes the image payload and checks
+    the per-row input_hint invariant (pixel allclose / PSNR≥40dB + caption
+    equality), appending a ``row_ok`` column — one pipeline, not two.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -97,14 +101,63 @@ def make_artifact_fn(gt_ref, dict_ref, keywords, word_percentage, char_percentag
         if st is None:
             import ray
 
-            st = PageArtifactStage(
-                ray.get(gt_ref), ray.get(dict_ref), keywords, word_percentage, char_percentage
+            st = (
+                PageArtifactStage(
+                    ray.get(gt_ref), ray.get(dict_ref), keywords, word_percentage, char_percentage
+                ),
+                DecodeCheckStage(dcfg) if dcfg is not None else None,
             )
             _WORKER_STATE.clear()
             _WORKER_STATE[key] = st
-        return st(batch)
+        artifact_stage, check_stage = st
+        out = artifact_stage(batch)
+        if check_stage is not None and "bytes" in batch.column_names:
+            checks = check_stage(batch)
+            row_ok = np.logical_and(
+                checks["decode_ok"].to_numpy(zero_copy_only=False),
+                checks["caption_equal"].to_numpy(zero_copy_only=False),
+            )
+            out = out.append_column("row_ok", pa.array(row_ok))
+        return out
 
     return fn
+
+
+def _fetch_chunk(block, wanted, gt_ref_box, dict_ref_box, keywords, wp, cp, dcfg):
+    """Keyed lookup into one plasma-cached shard block + artifact extraction.
+
+    ``block`` arrives as a zero-copy Arrow table (Ray resolves the top-level
+    ObjectRef); the broadcast scorer state rides as single-element LISTS of
+    ObjectRefs so Ray does NOT auto-resolve them — make_artifact_fn's
+    per-worker-process cache then amortizes the ray.get + state build across
+    every chunk this worker ever processes.
+    """
+    import pyarrow.compute as pc
+
+    sub = block.filter(pc.is_in(block["image_id"], value_set=pa.array(wanted, pa.string())))
+    fn = make_artifact_fn(gt_ref_box[0], dict_ref_box[0], keywords, wp, cp, dcfg=dcfg)
+    return fn(sub)
+
+
+def _make_fetch_chunk_task():
+    import ray
+
+    return ray.remote(num_cpus=1)(_fetch_chunk)
+
+
+class _LazyTask:
+    """Defers ray.remote() until first use so importing this module never
+    requires an initialized Ray."""
+
+    _inner = None
+
+    def remote(self, *args, **kwargs):
+        if self._inner is None:
+            self._inner = _make_fetch_chunk_task()
+        return self._inner.remote(*args, **kwargs)
+
+
+fetch_chunk_task = _LazyTask()
 
 
 class DecodeCheckStage:
