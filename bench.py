@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -175,38 +176,43 @@ def scaling() -> None:
     ensure_corpus()
     ray.shutdown()
 
-    def run(ncpu: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_ONLY_CRAWL="1",
-        )
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # taskset pins the WHOLE Ray process tree to ncpu physical cores:
+        # ray.init(num_cpus=N) only limits task slots, while pyarrow's
+        # internal thread pool (parquet decode, compute kernels) would still
+        # use all 32 cores — an "8-CPU node" borrowing 32 cores is not a
+        # faithful proxy for a small cluster
+        cmd = [sys.executable, __file__, "--crawl-only"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--crawl-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
+            cmd, env=env, capture_output=True, text=True, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["sec"], r_hi["sec"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "cpus_lo": lo,
-                "cpus_hi": hi,
-                "sec_lo": round(t_lo, 3),
-                "sec_hi": round(t_hi, 3),
-                "urls_per_sec_lo": round(r_lo["urls_per_sec"], 2),
-                "urls_per_sec_hi": round(r_hi["urls_per_sec"], 2),
-                "scaling_efficiency": round(eff, 3),
-            }
-        )
-    )
+    def run(ncpu: int) -> dict:
+        # best-of-2: single-machine runs vary ±30% (page cache, plasma reuse,
+        # co-tenant noise); min is the fair proxy for steady-state throughput
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["sec"] <= b["sec"] else b
+
+    result = {}
+    for lo, hi in ((8, 32), (4, 16)):
+        r_lo, r_hi = run(lo), run(hi)
+        eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+        result[f"{lo}v{hi}"] = {
+            "cpus_lo": lo,
+            "cpus_hi": hi,
+            "sec_lo": round(r_lo["sec"], 3),
+            "sec_hi": round(r_hi["sec"], 3),
+            "urls_per_sec_lo": round(r_lo["urls_per_sec"], 2),
+            "urls_per_sec_hi": round(r_hi["urls_per_sec"], 2),
+            "scaling_efficiency": round(eff, 3),
+        }
+    primary = result["8v32"]
+    primary["scaling_efficiency_4v16"] = result["4v16"]["scaling_efficiency"]
+    print(json.dumps(result))
 
 
 def crawl_only() -> None:

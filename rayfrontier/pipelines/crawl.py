@@ -562,6 +562,7 @@ class CrawlEngine:
 
         start_wave = self.resume() if (resume and self.ckpt) else 0
         wave = start_wave
+        self._ensure_blocks()  # submit shard loads now; they overlap replay
         while True:
             t0 = time.time()
             pending = self._replay()
@@ -571,13 +572,16 @@ class CrawlEngine:
                 break
             # frontier: priority sort + wave cap
             order = sorted(pending.items(), key=lambda kv: kv[1])[: self.cfg.wave_url_cap]
-            # politeness admission, batched per shard
+            # politeness admission, batched per shard; host bucketing
+            # vectorized (searchsorted over the host layout, no per-URL Python)
             actors = self._ensure_actors()
-            by_host: dict[str, list[str]] = {}
             hm = self.resolver.hm
-            for iid, _prio in order:
-                h = domain_name(hm.host_index_of_image(int(iid[3:])))
-                by_host.setdefault(h, []).append(iid)
+            iids = [iid for iid, _prio in order]
+            idxs = np.fromiter((int(i[3:]) for i in iids), dtype=np.int64, count=len(iids))
+            hosts_idx = np.searchsorted(hm.starts, idxs, side="right") - 1
+            by_host: dict[str, list[str]] = {}
+            for iid, h in zip(iids, hosts_idx):
+                by_host.setdefault(domain_name(int(h)), []).append(iid)
             hosts = sorted(by_host)
             pol = actors["politeness"]
             nps = self.cfg.n_politeness_shards
