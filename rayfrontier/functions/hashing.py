@@ -59,12 +59,48 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
 
 
+_WORD_CACHE: dict[str, int] = {}
+_WORD_CACHE_CAP = 1 << 20
+
+
+def word_hashes(words: list[str]) -> np.ndarray:
+    """uint64 FNV-1a per word, memoized — vocabularies are small and words
+    repeat across documents, so the Python-loop FNV runs ~once per vocab word
+    instead of once per occurrence (the former shingle hot spot)."""
+    cache = _WORD_CACHE
+    if len(cache) > _WORD_CACHE_CAP:
+        cache.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = fnv1a64(w.encode("utf-8", "surrogatepass"))
+            cache[w] = h
+        out[i] = h
+    return out
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Unique uint64 hashes of the k-word shingle set of a document."""
-    sh = set(word_shingles(text, k))
-    if not sh:
+    """Unique uint64 hashes of the k-word shingle set of a document.
+
+    Shingle hash = splitmix64 chain over the k word hashes (vectorized across
+    all window positions) — equivalent discriminating power to hashing the
+    joined shingle strings at a fraction of the cost.
+    """
+    words = text.lower().split()
+    if not words:
         return np.zeros(0, dtype=np.uint64)
-    return np.unique(np.fromiter((hash_text(s) for s in sh), dtype=np.uint64, count=len(sh)))
+    wh = word_hashes(words)
+    if len(wh) < k:
+        acc = wh[:1].copy()
+        for j in range(1, len(wh)):
+            acc = splitmix64(acc ^ wh[j : j + 1])
+        return acc
+    n = len(wh) - k + 1
+    acc = splitmix64(wh[:n].copy())
+    for j in range(1, k):
+        acc = splitmix64(acc ^ wh[j : j + n])
+    return np.unique(acc)
 
 
 def minhash_signature(shingles_u64: np.ndarray, num_perm: int = 64, seed: int = 0x5EED) -> np.ndarray:
@@ -82,16 +118,15 @@ def minhash_signature(shingles_u64: np.ndarray, num_perm: int = 64, seed: int = 
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
-    """Hash each band of the signature to one uint64 bucket key."""
+    """Hash each band of the signature to one uint64 bucket key (vectorized
+    across bands: `rows` chained splitmix64 steps instead of bands×rows)."""
     rows = sig.shape[0] // bands
-    out = np.empty(bands, dtype=np.uint64)
-    for b in range(bands):
-        h = np.uint64(0xCBF29CE484222325) ^ np.uint64(b)
-        for v in sig[b * rows : (b + 1) * rows]:
-            with np.errstate(over="ignore"):
-                h = splitmix64(h ^ v)
-        out[b] = h
-    return out
+    m = sig[: bands * rows].reshape(bands, rows)
+    with np.errstate(over="ignore"):
+        acc = _FNV_OFFSET ^ np.arange(bands, dtype=np.uint64)
+        for j in range(rows):
+            acc = splitmix64(acc ^ m[:, j])
+    return acc
 
 
 def simhash64(text: str) -> int:
@@ -99,7 +134,7 @@ def simhash64(text: str) -> int:
     words = text.lower().split()
     if not words:
         return 0
-    hs = np.fromiter((hash_text(w) for w in words), dtype=np.uint64, count=len(words))
+    hs = word_hashes(words)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     score = (2 * bits - 1).sum(axis=0)
     val = np.uint64(0)

@@ -36,6 +36,8 @@ from ..functions.hashing import (
 NUM_PERM = 64
 BANDS = 16
 
+_VERIFY_CACHE: dict = {}  # per-worker-process broadcast-state cache
+
 
 def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
     """First-wins exact dedup: one row per distinct text, winner = min id.
@@ -146,46 +148,43 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
     distinct = pair_distinct(pairs)
 
     # verification: broadcast id→text as an Arrow table ref (zero-copy in the
-    # object store); each VERIFY ACTOR deserializes once in __init__ — never
-    # per batch. At 100 TB this becomes a keyed-lookup join on (a) then (b).
+    # object store); TASK-based stage with per-worker-process cached state —
+    # an actor pool pays multi-second spin-up per query run, while the
+    # module-level cache amortizes state build the same way without it. At
+    # 100 TB this becomes a keyed-lookup join on (a) then (b).
     texts_ref = ray.put(docs.select_columns(["doc_id", "text"]).to_arrow_refs())
+    kk, thr = k, jaccard_threshold
 
-    class VerifyStage:
-        def __init__(self, texts_ref, k: int, threshold: float):
-            blocks = ray.get(ray.get(texts_ref))
-            tab = pa.concat_tables(blocks)
-            self.texts = dict(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()))
-            self.k = k
-            self.threshold = threshold
-            self.cache: dict[int, np.ndarray] = {}
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def _sh(self, i: int) -> np.ndarray:
-            if i not in self.cache:
-                self.cache[i] = shingle_hashes(self.texts[i], self.k)
-            return self.cache[i]
+        key = ("minhash_verify", texts_ref.hex())
+        st = _VERIFY_CACHE.get(key)
+        if st is None:
+            tab = pa.concat_tables(ray.get(ray.get(texts_ref)))
+            st = (dict(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist())), {})
+            _VERIFY_CACHE.clear()
+            _VERIFY_CACHE[key] = st
+        texts, sh_cache = st
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_pylist()
-            b = t["b"].to_pylist()
-            jac = [jaccard(self._sh(x), self._sh(y)) for x, y in zip(a, b)]
-            out = pa.table(
-                {
-                    "a": pa.array(a, pa.int64()),
-                    "b": pa.array(b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
-            import pyarrow.compute as pc
+        def sh(i: int) -> np.ndarray:
+            if i not in sh_cache:
+                sh_cache[i] = shingle_hashes(texts[i], kk)
+            return sh_cache[i]
 
-            return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(self.threshold)))
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        jac = [jaccard(sh(x), sh(y)) for x, y in zip(a, b)]
+        out = pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(thr)))
 
-    return distinct.map_batches(
-        VerifyStage,
-        fn_constructor_kwargs={"texts_ref": texts_ref, "k": k, "threshold": jaccard_threshold},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
-    )
+    return distinct.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 def simhash_pairs(docs, max_hamming: int = 3):
