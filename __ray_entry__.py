@@ -274,6 +274,16 @@ def _q_docs_fingerprints(sf_dir: str):
     return pa.Table.from_pandas(fingerprints(_docs(sf_dir)).to_pandas(), preserve_index=False)
 
 
+def _q_docs_dedup_components(sf_dir: str):
+    """Near-dup GROUPS: minhash pairs → connected components (min-label
+    propagation) — the iterative-algorithm family (no SQL equivalent)."""
+    from rayfrontier.pipelines.dedup import dedup_components, minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return dedup_components(pairs, docs.select_columns(["doc_id"]))
+
+
 def _q_docs_ngram_pairs(sf_dir: str):
     from rayfrontier.pipelines.dedup import ngram_jaccard_pairs
 
@@ -473,12 +483,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": R.q_lineitem_quantiles,
         "user_sessions": R.q_user_sessions,
         "click_last_purchase": R.q_click_last_purchase,
+        "order_lineitem_join": R.q_order_lineitem_join,
+        "event_hopping": R.q_event_hopping,
+        "customer_running_total": R.q_customer_running_total,
         # documents / training-data operators (SQL-checked where expressible)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_word_count": _q_docs_word_count,
         "docs_quality": _q_docs_quality,
         "knn_brute": _q_knn_brute,
         # rows-only (no faithful ANSI-SQL equivalent)
+        "docs_dedup_components": _q_docs_dedup_components,
         "docs_ngram_pairs": _q_docs_ngram_pairs,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -624,6 +638,33 @@ def oracle_sql() -> dict[str, str]:
                      ) AS last_purchase_ts
               FROM events
             ) WHERE event_type = 'click'
+        """,
+        "order_lineitem_join": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "event_hopping": """
+            SELECT event_type, win_start, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM (
+              SELECT event_type, value,
+                     CAST(floor((epoch(ts) - j.j * 3600) / 7200) * 7200
+                          + j.j * 3600 AS BIGINT) AS win_start
+              FROM events, (SELECT 0 AS j UNION ALL SELECT 1) j
+            )
+            GROUP BY event_type, win_start
+        """,
+        "customer_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING
+                   ), 2) AS running_total
+            FROM orders
         """,
         "docs_exact_dedup": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -405,3 +405,44 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
         return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(jaccard_threshold)))
 
     return co.map_batches(score, batch_format="pyarrow")
+
+
+def dedup_components(pairs, ids, max_rounds: int = 10):
+    """Connected components over near-dup pairs: distributed min-label
+    propagation (ray_guide "connected components" pattern).
+
+    ``pairs``: Dataset with (a, b) edge columns. ``ids``: Dataset with the
+    full vertex set in a ``doc_id`` column. Returns (doc_id, component_id)
+    where component_id = min doc_id reachable. Each round: every edge
+    proposes min(label[a], label[b]) to both endpoints; a coarse-partitioned
+    min-aggregate merges proposals; converged when no label changes. Rounds
+    needed = graph diameter (near-dup clusters are shallow — a handful).
+
+    The edge list is re-broadcast per round as numpy arrays (ray.put,
+    zero-copy); labels live driver-side as one int64 array — fine up to ~1e8
+    vertices; beyond that labels become a Dataset and the propagate step a
+    hash-partitioned join on vertex id.
+    """
+    import ray
+
+    edf = pairs.select_columns(["a", "b"]).to_pandas()
+    vdf = ids.to_pandas()
+    verts = np.sort(vdf["doc_id"].to_numpy(dtype=np.int64))
+    labels = verts.copy()  # component label = own id initially
+    if len(edf):
+        ea = np.searchsorted(verts, edf["a"].to_numpy(dtype=np.int64))
+        eb = np.searchsorted(verts, edf["b"].to_numpy(dtype=np.int64))
+        for _ in range(max_rounds):
+            m = np.minimum(labels[ea], labels[eb])
+            new = labels.copy()
+            np.minimum.at(new, ea, m)
+            np.minimum.at(new, eb, m)
+            if np.array_equal(new, labels):
+                break
+            labels = new
+    return pa.table(
+        {
+            "doc_id": pa.array(verts, pa.int64()),
+            "component_id": pa.array(labels, pa.int64()),
+        }
+    )

@@ -344,3 +344,87 @@ def q_click_last_purchase(sf_dir: str):
 
     out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Large×large hash-partitioned join (J-family, both sides big at scale):
+    lineitem ⋈ orders on orderkey via functions.joins.hash_join (native
+    Dataset.join when available), then revenue per order-priority."""
+    from ray.data.aggregate import Count, Sum
+
+    from rayfrontier.functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        li.map_batches(add_rev, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+        nparts=32,
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_lineitems")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"revenue": 2})
+
+
+def q_event_hopping(sf_dir: str, size_h: int = 2, hop_h: int = 1):
+    """Hopping (sliding) windows: 2h windows every 1h — each event belongs to
+    size/hop windows, emitted by a vectorized flat-map then one grouped
+    aggregate (the overlapping-window idiom; tumbling = q_event_hourly)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    n_copies = size_h // hop_h
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        outs = []
+        for j in range(n_copies):
+            start = ((epoch - j * hop_h * 3600) // (size_h * 3600)) * (size_h * 3600) + j * hop_h * 3600
+            outs.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        # epoch seconds (int64), not timestamps: DuckDB's
+                        # to_timestamp() is tz-aware and would break the compare
+                        "win_start": pa.array(start, pa.int64()),
+                        "value": t["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"sum_value": 4})
+
+
+def q_customer_running_total(sf_dir: str):
+    """Cumulative window per key: running order-value per customer in
+    (date, key) order — per-group sorted cumsum inside map_groups."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        # same accumulation order as the SQL window frame → identical doubles;
+        # quantization happens once, below, on the same lattice as the oracle
+        g["running_total"] = g["o_totalprice"].cumsum()
+        return g[["o_custkey", "o_orderkey", "running_total"]]
+
+    out = ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round_cols(t, {"running_total": 2})

@@ -1,0 +1,66 @@
+"""hash_join (native + explicit fallback) and dedup connected components."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _sides(ray_session):
+    import ray.data as rd
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3, 5], pa.int64()), "lv": pa.array([10, 20, 21, 30, 50], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([1, 2, 4], pa.int64()), "rv": pa.array(["a", "b", "d"], pa.string())})
+    )
+    return left, right
+
+
+def _check(df: pd.DataFrame):
+    got = sorted(zip(df["k"], df["lv"], df["rv"]))
+    assert got == [(1, 10, "a"), (2, 20, "b"), (2, 21, "b")]
+
+
+def test_hash_join_native_and_fallback(ray_session):
+    from rayfrontier.functions.joins import hash_join
+
+    left, right = _sides(ray_session)
+    native = hash_join(left, right, on="k", right_on="rk", how="inner", nparts=4).to_pandas()
+    _check(native)
+    left, right = _sides(ray_session)
+    explicit = hash_join(
+        left, right, on="k", right_on="rk", how="inner", nparts=4, prefer_native=False
+    ).to_pandas()
+    _check(explicit)
+
+
+def test_dedup_components_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from rayfrontier.pipelines.dedup import dedup_components
+
+    rng = np.random.default_rng(7)
+    n = 200
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(60, 2)) if a != b]
+    pairs = rd.from_items([{"a": min(a, b), "b": max(a, b)} for a, b in edges])
+    ids = rd.from_items([{"doc_id": i} for i in range(n)])
+    out = dedup_components(pairs, ids).to_pandas().set_index("doc_id")["component_id"]
+
+    # reference union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n)}
+    # component ids must induce the same partition, with min-id labels
+    for i in range(n):
+        assert out[i] == expect[i], (i, out[i], expect[i])
