@@ -124,6 +124,9 @@ def run_query_bench() -> dict:
         "click_last_purchase",
         "docs_ngram_pairs",
         "lineitem_quantiles",
+        "order_lineitem_join",
+        "event_hopping",
+        "customer_running_total",
     ):
         t0 = time.time()
         qs[name](SF_DIR)

@@ -71,37 +71,40 @@ def quality_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
     return docs.map_batches(stage, batch_format="pyarrow")
 
 
-class LangIdStage:
-    """Tiny deterministic language-ID: stopword votes per language family."""
+_LANG_PATTERNS = {
+    "en": r"(?i)\b(?:" + "|".join(_EN_STOP) + r")\b",
+    "es": r"(?i)\b(?:" + "|".join(_ES_STOP) + r")\b",
+    "de": r"(?i)\b(?:" + "|".join(_DE_STOP) + r")\b",
+}
 
-    def __init__(self):
-        self.profiles = {
-            "en": re.compile(r"(?i)\b(?:" + "|".join(_EN_STOP) + r")\b"),
-            "es": re.compile(r"(?i)\b(?:" + "|".join(_ES_STOP) + r")\b"),
-            "de": re.compile(r"(?i)\b(?:" + "|".join(_DE_STOP) + r")\b"),
+
+def _langid_stage(t: pa.Table) -> pa.Table:
+    """Stopword-vote language ID, fully vectorized: one Arrow regex-count
+    kernel per language over the whole batch (no Python per-row loop)."""
+    nw = np.maximum(
+        pc.count_substring_regex(t["text"], r"\S+").to_numpy(zero_copy_only=False), 1
+    ).astype(np.float64)
+    langs = list(_LANG_PATTERNS)
+    scores = np.stack(
+        [
+            pc.count_substring_regex(t["text"], pat).to_numpy(zero_copy_only=False) / nw
+            for pat in _LANG_PATTERNS.values()
+        ]
+    )
+    best = scores.argmax(axis=0)
+    conf = scores[best, np.arange(scores.shape[1])]
+    pred = np.where(conf > 0.02, np.array(langs, dtype=object)[best], "unknown")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "lang_pred": pa.array(pred.tolist(), pa.string()),
+            "lang_conf": pa.array(conf, pa.float64()),
         }
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        langs, confs = [], []
-        for x in texts:
-            words = max(len(x.split()), 1)
-            scores = {L: len(rx.findall(x)) / words for L, rx in self.profiles.items()}
-            best = max(scores, key=scores.get)
-            conf = scores[best]
-            langs.append(best if conf > 0.02 else "unknown")
-            confs.append(conf)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "lang_pred": pa.array(langs, pa.string()),
-                "lang_conf": pa.array(confs, pa.float64()),
-            }
-        )
+    )
 
 
 def langid(docs):
-    return docs.map_batches(LangIdStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+    return docs.map_batches(_langid_stage, batch_format="pyarrow", batch_size=2048)
 
 
 def token_counts(docs, text_col: str = "text", id_col: str = "doc_id"):
