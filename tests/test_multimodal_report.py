@@ -171,3 +171,20 @@ def test_partitioned_sink_resumable(ray_session, tmp_path):
     assert m2 == m1
     for p in m1["partitions"]:
         assert (tmp_path / "r1" / p).stat().st_mtime_ns == mtimes[p]
+
+
+def test_langid_on_real_snippets(ray_session):
+    import ray.data as rd
+
+    from rayfrontier.pipelines.textstats import langid
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox is one of the animals that it sees in a field"},
+            {"doc_id": 2, "text": "el perro y la casa de los que se una para con no es en madrid"},
+            {"doc_id": 3, "text": "der hund und die katze ist nicht das ein mit von zu haus im garten"},
+            {"doc_id": 4, "text": "zzz qqq xxx yyy www vvv"},  # no stopwords at all
+        ]
+    )
+    out = langid(docs).to_pandas().set_index("doc_id")["lang_pred"]
+    assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "unknown"
