@@ -18,11 +18,13 @@ Architecture (SURVEY.md §3.1 "rebuild shape", §7):
       probe    — sharded cuckoo-filter seen-probe (batched RPC per shard);
                  filter hits are verified against the exact artifact cache, so
                  false positives cost one lookup, never a dropped URL
-      fetch    — Ray Data: read ONLY the parquet shards holding requested keys
-                 with an image_id IN-filter + column pruning, then
-                 map_batches(PageArtifactStage actor pool) over zero-copy
-                 Arrow batches → small artifact rows (hash/sim/hrefs — the
-                 payload never leaves the fetch stage)
+      fetch    — keyed lookup: shard blocks are loaded into the object store
+                 ONCE (Ray Data read, bounded concurrency); each wave issues
+                 plain Ray tasks doing zero-copy `is_in` probes + artifact
+                 extraction (+ inline per-row decode invariant) against them
+                 → small artifact rows (hash/sim/hrefs — the payload never
+                 leaves the fetch stage). At 10^10 scale the block cache
+                 becomes per-fragment keyed reads inside the same tasks.
       commit   — atomic wave checkpoint {artifact delta, replay state, filter
                  dumps, per-host lineage metrics}; a killed run resumes from
                  the last committed wave with ZERO re-fetches
@@ -718,3 +720,10 @@ class CrawlEngine:
         return write_partitioned(
             ds.map_batches(add_bucket, batch_format="pyarrow"), out_dir, "bucket", run_id
         )
+
+
+def run_crawl(corpus_dir: str, dcfg: DatagenConfig, cfg: CrawlConfig | None = None, **kwargs) -> "CrawlEngine":
+    """Convenience: build a CrawlEngine, run it to completion, return it."""
+    eng = CrawlEngine(corpus_dir, dcfg, cfg, **kwargs)
+    eng.run()
+    return eng
