@@ -32,6 +32,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench-scale synthetic corpus (scale model of the 10^10 frontier)
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "300000"))
 N_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "6000"))
+N_SHARDS = int(os.environ.get("GRAFT_BENCH_SHARDS", "32"))
 BENCH_CORPUS = os.environ.get(
     "GRAFT_BENCH_CORPUS", f"/tmp/rayfrontier_bench_corpus_{N_IMAGES}_{N_HOSTS}"
 )
@@ -41,19 +42,35 @@ def _bench_cfgs():
     from rayfrontier.config import CrawlConfig, DatagenConfig
 
     dcfg = DatagenConfig(
-        n_images=N_IMAGES, n_hosts=N_HOSTS, n_shards=32, links_per_page=(2, 8)
+        n_images=N_IMAGES, n_hosts=N_HOSTS, n_shards=N_SHARDS, links_per_page=(2, 8)
     )
     ccfg = CrawlConfig(per_host_wave_cap=1024, host_tokens_per_wave=1024, wave_url_cap=1_000_000)
     return dcfg, ccfg
 
 
 def ensure_corpus() -> None:
+    import ray
+
     from rayfrontier.datagen import write_corpus
+    from rayfrontier.sources.storage import PagesStore
 
     dcfg, _ = _bench_cfgs()
     marker = os.path.join(BENCH_CORPUS, "meta.json")
     if not os.path.exists(marker):
         write_corpus(BENCH_CORPUS, dcfg, use_ray=True)
+    # pre-build the payload sidecars (one-time corpus prep, not crawl work)
+    store = PagesStore(BENCH_CORPUS, dcfg.n_shards)
+
+    @ray.remote
+    def build(s: int) -> bool:
+        return PagesStore(BENCH_CORPUS, dcfg.n_shards).ensure_sidecar(s)
+
+    inflight = []
+    for s in range(store.n_shards):
+        if len(inflight) >= 8:
+            _, inflight = ray.wait(inflight, num_returns=1)
+        inflight.append(build.remote(s))
+    ray.get(inflight)
     # warm the page cache so both scaling runs see memory-speed reads
     total = 0
     for root, _dirs, files in os.walk(BENCH_CORPUS):

@@ -49,7 +49,6 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..config import CrawlConfig, DatagenConfig
 from ..datagen import SyntheticStore, domain_name, image_id, seeds_list
@@ -346,14 +345,23 @@ class CrawlEngine:
             return self._block_refs
         import ray
 
+        # NEVER cache the payload bytes in plasma: at 10^10 rows the payload
+        # is the dataset. The cache holds metadata+caption only (~6% of the
+        # bytes); fetched pages' payloads come from the per-shard seekable
+        # sidecar (PagesStore.payload_lookup) — built here, once, per shard.
         cols = ["image_id", "caption"]
         if self.validate_rows:
-            cols = ["image_id", "caption", "bytes", "fmt", "w", "h", "phash"]
+            cols = ["image_id", "caption", "fmt", "w", "h", "phash"]
+        corpus_dir, n_shards, build_sidecar = self.corpus_dir, self.store.n_shards, self.validate_rows
 
         @ray.remote
-        def load_shard(paths: list[str], columns: list[str]) -> pa.Table:
+        def load_shard(paths: list[str], columns: list[str], shard: int) -> pa.Table:
             import pyarrow.parquet as pq
 
+            if build_sidecar:
+                from ..sources.storage import PagesStore
+
+                PagesStore(corpus_dir, n_shards).ensure_sidecar(shard)
             return pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
 
         # bounded concurrency: shard loads are storage-bandwidth-bound, and
@@ -367,7 +375,7 @@ class CrawlEngine:
                 continue
             if len(inflight) >= 8:
                 _, inflight = ray.wait(inflight, num_returns=1)
-            r = load_shard.remote(paths, cols)
+            r = load_shard.remote(paths, cols, s)
             refs[s] = r
             inflight.append(r)
         self._block_refs = refs
@@ -413,6 +421,7 @@ class CrawlEngine:
         dcfg = self.dcfg if self.validate_rows else None
         futs = []
         for s, wanted in sorted(by_shard.items()):
+            payload_src = (self.corpus_dir, self.store.n_shards, s) if self.validate_rows else None
             for k in range(0, len(wanted), chunk):
                 futs.append(
                     fetch_chunk_task.remote(
@@ -424,6 +433,7 @@ class CrawlEngine:
                         self.cfg.word_percentage,
                         self.cfg.char_percentage,
                         dcfg,
+                        payload_src,
                     )
                 )
         blocks = [b for b in ray.get(futs) if b.num_rows]

@@ -60,6 +60,85 @@ class PagesStore:
         expr = pads.field("image_id").isin(image_ids)
         return dataset.to_table(columns=columns, filter=expr)
 
+    # -- payload sidecar: O(1) per-row byte-range reads -------------------------
+    #
+    # Parquet row groups are the wrong granularity for sparse payload fetches:
+    # one wanted row drags its whole (row_group × bytes-column) chunk off disk.
+    # The sidecar re-lays each shard's payload as one flat blob + int64 offset
+    # index (built ONCE, lazily, from the parquet shard), so a fetch task reads
+    # exactly the wanted pages' bytes with seeks — the shape of a production
+    # keyed image store (Lance take / WebDataset-with-index). SURVEY.md J5.
+
+    def _sidecar_paths(self, shard: int) -> tuple[str, str]:
+        # kept OUTSIDE pages/: anything that reads the pages dir as a parquet
+        # dataset (ray.data directory reads) must never see these blobs
+        d = os.path.join(os.path.dirname(self.pages_dir), "payload")
+        os.makedirs(d, exist_ok=True)
+        return (
+            os.path.join(d, f"shard={shard}.bin"),
+            os.path.join(d, f"shard={shard}_idx.npz"),
+        )
+
+    def ensure_sidecar(self, shard: int) -> bool:
+        """Build the payload sidecar for one shard if absent. Returns True if
+        (now) present. Atomic: written to .tmp then renamed."""
+        import numpy as np
+
+        bin_path, idx_path = self._sidecar_paths(shard)
+        if os.path.exists(bin_path) and os.path.exists(idx_path):
+            return True
+        paths = self.shard_paths({shard})
+        if not paths:
+            return False
+        t = pads.dataset(paths, format="parquet").to_table(
+            columns=["image_id", "bytes", "fmt", "phash"]
+        )
+        ids = np.array([int(x[3:]) for x in t["image_id"].to_pylist()], dtype=np.int64)
+        order = np.argsort(ids)
+        blobs = t["bytes"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        phashes = t["phash"].to_numpy(zero_copy_only=False)
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        with open(bin_path + ".tmp", "wb") as fp:
+            pos = 0
+            for j, k in enumerate(order):
+                fp.write(blobs[k])
+                pos += len(blobs[k])
+                offsets[j + 1] = pos
+        np.savez(
+            idx_path + ".tmp.npz",
+            ids=ids[order],
+            offsets=offsets,
+            fmt_is_ppm=np.array([fmts[k] == "ppm" for k in order], dtype=bool),
+            phash=phashes[order].astype(np.int64),
+        )
+        os.replace(idx_path + ".tmp.npz", idx_path)
+        os.replace(bin_path + ".tmp", bin_path)
+        return True
+
+    def payload_lookup(self, shard: int, image_ids: list[str]):
+        """bytes/fmt/phash for the requested ids of one shard via seek reads.
+
+        Returns (list[bytes], list[str fmt], np.ndarray phash) aligned with
+        ``image_ids``. Sidecar must exist (ensure_sidecar)."""
+        import numpy as np
+
+        bin_path, idx_path = self._sidecar_paths(shard)
+        idx = np.load(idx_path)
+        ids, offsets = idx["ids"], idx["offsets"]
+        fmt_is_ppm, phash = idx["fmt_is_ppm"], idx["phash"]
+        want = np.array([int(x[3:]) for x in image_ids], dtype=np.int64)
+        pos = np.searchsorted(ids, want)
+        if np.any((pos >= len(ids)) | (ids[np.clip(pos, 0, len(ids) - 1)] != want)):
+            raise KeyError("payload_lookup: id not in shard sidecar")
+        blobs, fmts = [], []
+        with open(bin_path, "rb") as fp:
+            for p in pos:
+                fp.seek(int(offsets[p]))
+                blobs.append(fp.read(int(offsets[p + 1] - offsets[p])))
+                fmts.append("ppm" if fmt_is_ppm[p] else "qjpg")
+        return blobs, fmts, phash[pos]
+
 
 class CheckpointDir:
     """Atomic per-wave checkpoint layout with a manifest."""

@@ -123,8 +123,11 @@ def make_artifact_fn(gt_ref, dict_ref, keywords, word_percentage, char_percentag
     return fn
 
 
-def _fetch_chunk(block, wanted, gt_ref_box, dict_ref_box, keywords, wp, cp, dcfg):
-    """Keyed lookup into one plasma-cached shard block + artifact extraction.
+def _fetch_chunk(block, wanted, gt_ref_box, dict_ref_box, keywords, wp, cp, dcfg,
+                 payload_src=None):
+    """Keyed lookup into one plasma-cached shard META block + artifact
+    extraction; payload bytes (decode-invariant mode) come from the shard's
+    seekable sidecar — only the WANTED pages' bytes ever leave disk.
 
     ``block`` arrives as a zero-copy Arrow table (Ray resolves the top-level
     ObjectRef); the broadcast scorer state rides as single-element LISTS of
@@ -135,6 +138,15 @@ def _fetch_chunk(block, wanted, gt_ref_box, dict_ref_box, keywords, wp, cp, dcfg
     import pyarrow.compute as pc
 
     sub = block.filter(pc.is_in(block["image_id"], value_set=pa.array(wanted, pa.string())))
+    if payload_src is not None and dcfg is not None:
+        from ..sources.storage import PagesStore
+
+        corpus_dir, n_shards, shard = payload_src
+        blobs, fmts, _ph = PagesStore(corpus_dir, n_shards).payload_lookup(
+            shard, sub["image_id"].to_pylist()
+        )
+        sub = sub.append_column("bytes", pa.array(blobs, pa.binary()))
+        # sidecar fmt must agree with the parquet column (sanity by construction)
     fn = make_artifact_fn(gt_ref_box[0], dict_ref_box[0], keywords, wp, cp, dcfg=dcfg)
     return fn(sub)
 
