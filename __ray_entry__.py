@@ -244,6 +244,19 @@ def _q_knn_ivf(sf_dir: str):
     return t.select(["vec_id", "cos"])
 
 
+def _q_embed_clusters(sf_dir: str):
+    """Deterministic k-means assignment over the embeddings table."""
+    import ray.data as rd
+
+    from rayfrontier.functions.rounding import quantize_cols
+    from rayfrontier.pipelines.similarity import cluster_assignments
+
+    em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cluster_assignments(em, n_centroids=16)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return quantize_cols(t, {"cos_to_centroid": 6})
+
+
 def _q_docs_word_count(sf_dir: str):
     from rayfrontier.pipelines.textstats import token_counts
 
@@ -498,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "embed_dups": _q_embed_dups,
         "knn_ivf": _q_knn_ivf,
+        "embed_clusters": _q_embed_clusters,
         "docs_langid": _q_docs_langid,
         "docs_fingerprints": _q_docs_fingerprints,
         "url_canonicalize": _q_url_canonicalize,

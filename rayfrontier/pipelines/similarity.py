@@ -111,3 +111,29 @@ def ivf_knn(embeds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     pruned = embeds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
     return brute_force_knn(pruned, q, k=k, id_col=id_col)
+
+
+def cluster_assignments(embeds, n_centroids: int = 16, id_col: str = "vec_id"):
+    """K-means cluster assignment as a first-class operator: train centroids
+    (driver-side sample, deterministic), broadcast them, assign every vector
+    in one vectorized map_batches pass. Returns (id, cluster, cos_to_centroid).
+    """
+    import ray
+
+    cent = train_centroids(embeds, n_centroids)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_to_matrix(t["embedding"]))
+        sims = m @ c.T
+        cell = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(cell.astype(np.int32), pa.int32()),
+                "cos_to_centroid": pa.array(sims[np.arange(len(cell)), cell], pa.float64()),
+            }
+        )
+
+    return embeds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
