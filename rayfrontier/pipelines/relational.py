@@ -349,20 +349,28 @@ def q_click_last_purchase(sf_dir: str):
 def q_order_lineitem_join(sf_dir: str):
     """Large×large hash-partitioned join (J-family, both sides big at scale):
     lineitem ⋈ orders on orderkey via functions.joins.hash_join (native
-    Dataset.join when available), then revenue per order-priority."""
-    from ray.data.aggregate import Count, Sum
+    Dataset.join when available), then revenue per order-priority.
+
+    Aggregation pushdown: lineitem pre-aggregates (sum rev, count) per
+    orderkey INSIDE each batch before the join, so the shuffle moves one
+    partial row per (batch, orderkey) instead of every lineitem row — the
+    partial-aggregate-below-the-join plan every SQL optimizer picks here.
+    """
+    from ray.data.aggregate import Sum
 
     from rayfrontier.functions.joins import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def add_rev(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        part = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        agg = part.group_by("l_orderkey").aggregate([("rev", "sum"), ("rev", "count")])
+        return agg.rename_columns(["l_orderkey", "rev_part", "n_part"])
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(
-        li.map_batches(add_rev, batch_format="pyarrow"),
+        li.map_batches(partial, batch_format="pyarrow"),
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
@@ -370,7 +378,7 @@ def q_order_lineitem_join(sf_dir: str):
         nparts=32,
     )
     out = joined.groupby("o_orderpriority").aggregate(
-        Sum("rev", alias_name="revenue"), Count(alias_name="n_lineitems")
+        Sum("rev_part", alias_name="revenue"), Sum("n_part", alias_name="n_lineitems")
     )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return _round_cols(t, {"revenue": 2})

@@ -163,3 +163,28 @@ def test_robots_gating(ray_session, corpus, small_cfg):
     assert [tuple(r) for r in eng.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
     base = CrawlEngine(corpus, small_cfg, cfg).run()
     assert [tuple(r) for r in base.crawl_rows] != [tuple(r) for r in eng.crawl_rows]
+
+
+@pytest.mark.parametrize("seed,n_images,n_hosts,links", [
+    (101, 250, 12, (1, 4)),
+    (202, 350, 25, (3, 9)),
+    (303, 180, 6, (2, 12)),
+])
+def test_engine_matches_oracle_randomized(ray_session, tmp_path, seed, n_images, n_hosts, links):
+    """Randomized parity sweep: varying topology (host counts, link fan-out,
+    seeds) must never break crawl-log/seen-set equality with the oracle."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    dcfg = DatagenConfig(n_images=n_images, n_hosts=n_hosts, links_per_page=links, seed=seed)
+    d = str(tmp_path / f"corpus{seed}")
+    write_corpus(d, dcfg, use_ray=False)
+    cfg = CrawlConfig()
+    oracle = sequential_crawl(
+        seeds_list(dcfg), SyntheticStore(dcfg), cfg,
+        ground_truth_text(dcfg), dictionary_set(dcfg),
+    )
+    eng = CrawlEngine(d, dcfg, cfg).run()
+    assert [tuple(r) for r in eng.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    assert eng.link_dict == oracle.url_seen
+    assert eng.domain_status == oracle.domain_status
+    eng.shutdown()
