@@ -23,6 +23,10 @@ class CrawlConfig:
     n_seen_shards: int = 8             # cuckoo-filter actor shards
     n_politeness_shards: int = 4
     respect_robots: bool = False       # reference has no robots handling (SURVEY T6)
+    tentative_shards: int = 1          # >1: distribute the prefetch-prediction
+                                       # replay over contiguous domain ranges as
+                                       # Ray tasks (scheduling-only; committed
+                                       # outputs identical by construction)
 
 
 @dataclass(frozen=True)

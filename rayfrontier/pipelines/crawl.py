@@ -211,6 +211,71 @@ class _DomainReplay:
         return True, ("successful" if self.any_valid else "no_valid_link")
 
 
+# ----------------------------------------------------- distributed tentative replay
+
+
+class _ReplayView:
+    """Engine-shaped view for _DomainReplay inside a remote task: pure
+    resolver + artifact dict + config, memoized resolve per worker process."""
+
+    def __init__(self, dcfg: DatagenConfig, cfg: CrawlConfig, artifacts: dict, robots=None):
+        from ..datagen import SyntheticStore
+
+        self.resolver = SyntheticStore(dcfg)
+        self.cfg = cfg
+        self.artifacts = artifacts
+        self.robots = robots
+        self._cache: dict[str, int | None] = {}
+
+    def resolve(self, url: str) -> int | None:
+        hit = self._cache.get(url, _RESOLVE_MISS)
+        if hit is not _RESOLVE_MISS:
+            return hit
+        val = self.resolver.resolve(url)
+        self._cache[url] = val
+        return val
+
+
+def _replay_range(dcfg, cfg, domains, lo, hi, link_dict, policy_dict, artifacts, flows,
+                  n_flows):
+    """Tentative replay of domains[lo:hi] against committed state + the
+    one-wave-stale cross-range href flow (union of the previous wave's local
+    overlays of ranges earlier than this one). Returns (pending, flow_local).
+
+    Scheduling-only: the committed pass on the driver is the single source of
+    output truth; a misprediction here costs at most one extra (small) wave.
+    """
+    view = _ReplayView(dcfg, cfg, artifacts)
+    link_ov, policy_ov = Overlay(link_dict), Overlay(policy_dict)
+    for f in flows[:n_flows]:
+        link_ov.local.update(f)
+    flow_keys_in = set(link_ov.local)
+    pending: dict[str, tuple] = {}
+    for rank in range(lo, hi):
+        rep = _DomainReplay(view, link_ov, policy_ov, pending, rank)
+        rep.run(domains[rank])
+    flow_local = {k: v for k, v in link_ov.local.items() if k not in flow_keys_in}
+    return pending, flow_local
+
+
+def _make_replay_range_task():
+    import ray
+
+    return ray.remote(num_cpus=1)(_replay_range)
+
+
+class _LazyReplayTask:
+    _inner = None
+
+    def remote(self, *a, **kw):
+        if self._inner is None:
+            self._inner = _make_replay_range_task()
+        return self._inner.remote(*a, **kw)
+
+
+_replay_range_task = _LazyReplayTask()
+
+
 # ---------------------------------------------------------------- engine
 
 
@@ -258,6 +323,8 @@ class CrawlEngine:
         self._actors = None
         self._resolve_cache: dict[str, int | None] = {}
         self._block_refs: dict[int, "ray.ObjectRef"] | None = None  # noqa: F821
+        self._domains_ref = None
+        self._range_flows: list[dict] | None = None
 
     # -- pure URL→image resolution ------------------------------------------
     def resolve(self, url: str) -> int | None:
@@ -322,11 +389,69 @@ class CrawlEngine:
         # depends on the seen-dict — degenerating 4 wide waves into ~75
         # serial-tail waves. Measured; don't re-try. Prefetch is scheduling
         # only: committed outputs never depend on it.)
-        tent_link, tent_policy = Overlay(self.link_dict), Overlay(self.policy_dict)
-        for rank in range(self.prefix, len(self.domains)):
-            rep = _DomainReplay(self, tent_link, tent_policy, pending, rank)
-            rep.run(self.domains[rank])
+        n_remaining = len(self.domains) - self.prefix
+        if self.cfg.tentative_shards > 1 and n_remaining >= 4 * self.cfg.tentative_shards:
+            self._replay_distributed(pending)
+        else:
+            tent_link, tent_policy = Overlay(self.link_dict), Overlay(self.policy_dict)
+            for rank in range(self.prefix, len(self.domains)):
+                rep = _DomainReplay(self, tent_link, tent_policy, pending, rank)
+                rep.run(self.domains[rank])
         return pending
+
+    def _replay_distributed(self, pending: dict[str, tuple]) -> None:
+        """Tentative pass as Ray tasks over contiguous domain ranges.
+
+        Each range replays against (committed dicts + artifacts) shipped per
+        wave, plus the cross-range href flow from the PREVIOUS wave (ranges
+        earlier than it). One-wave-stale flow can mispredict hrefs first seen
+        last wave — a superset/miss of at most that wave's new hrefs, healed
+        the next wave; outputs are unaffected (committed pass is
+        authoritative). At 10^10 the per-wave dict shipping becomes delta
+        streams into pinned range actors; the task layout is identical.
+        """
+        import ray
+
+        R = self.cfg.tentative_shards
+        n = len(self.domains)
+        bounds = [(n * r) // R for r in range(R + 1)]
+        if self._domains_ref is None:
+            self._domains_ref = ray.put(self.domains)
+        link_ref = ray.put(self.link_dict)
+        policy_ref = ray.put(self.policy_dict)
+        art_ref = ray.put(self.artifacts)
+        prev_flows = self._range_flows or [{} for _ in range(R)]
+        flows_ref = ray.put(prev_flows)
+
+        futs = []
+        live = []
+        for r in range(R):
+            lo, hi = max(bounds[r], self.prefix), bounds[r + 1]
+            if lo >= hi:
+                futs.append(None)
+                continue
+            f = _replay_range_task.remote(
+                self.dcfg, self.cfg, self._domains_ref, lo, hi,
+                link_ref, policy_ref, art_ref, flows_ref, r,
+            )
+            futs.append(f)
+            live.append(f)
+        results = ray.get(live)
+        it = iter(results)
+        new_flows: list[dict] = []
+        for r in range(R):
+            if futs[r] is None:
+                new_flows.append(prev_flows[r] if r < len(prev_flows) else {})
+                continue
+            local_pending, flow_local = next(it)
+            new_flows.append(flow_local)
+            for iid, key in local_pending.items():
+                if iid in self.artifacts:
+                    continue
+                cur = pending.get(iid)
+                if cur is None or key < cur:
+                    pending[iid] = key
+        self._range_flows = new_flows
 
     # -- origin-store block cache -------------------------------------------------
     def _ensure_blocks(self):

@@ -188,3 +188,17 @@ def test_engine_matches_oracle_randomized(ray_session, tmp_path, seed, n_images,
     assert eng.link_dict == oracle.url_seen
     assert eng.domain_status == oracle.domain_status
     eng.shutdown()
+
+
+def test_engine_parity_distributed_replay(ray_session, corpus, small_cfg):
+    """tentative_shards > 1 distributes prefetch prediction over Ray tasks;
+    committed outputs must be bit-identical to the sequential-replay engine."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    base = CrawlEngine(corpus, small_cfg, CrawlConfig()).run()
+    dist = CrawlEngine(corpus, small_cfg, CrawlConfig(tentative_shards=8)).run()
+    assert [tuple(r) for r in dist.crawl_rows] == [tuple(r) for r in base.crawl_rows]
+    assert dist.link_dict == base.link_dict
+    assert dist.domain_status == base.domain_status
+    base.shutdown()
+    dist.shutdown()
