@@ -228,6 +228,29 @@ def _q_knn_brute(sf_dir: str):
     return quantize_cols(t, {"cos": 6})
 
 
+def _q_knn_batch(sf_dir: str):
+    """Batched multi-query ANN: top-3 per query for 5 query vectors in ONE
+    pass over the table (matmul against the broadcast query matrix)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayfrontier.functions.rounding import quantize_cols
+    from rayfrontier.pipelines.similarity import brute_force_knn
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = qt.filter(pc.less(qt["vec_id"], 5)).sort_by("vec_id")
+    q = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    em = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], override_num_blocks=16
+    ).map_batches(lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow")
+    out = brute_force_knn(em, q, k=3)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).select(
+        ["query_id", "vec_id", "cos"]
+    )
+    return quantize_cols(t, {"cos": 6})
+
+
 def _q_knn_ivf(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
@@ -285,6 +308,25 @@ def _q_docs_fingerprints(sf_dir: str):
     from rayfrontier.pipelines.textstats import fingerprints
 
     return pa.Table.from_pandas(fingerprints(_docs(sf_dir)).to_pandas(), preserve_index=False)
+
+
+def _q_events_user_approx_distinct(sf_dir: str):
+    """HLL approx-distinct user_id (mergeable-sketch family; rows-only —
+    estimates can't value-hash-match an exact SQL count)."""
+    import ray.data as rd
+
+    from rayfrontier.functions.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = len(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).unique("user_id"))
+    return pa.table(
+        {
+            "approx_users": pa.array([int(round(est))], pa.int64()),
+            "exact_users": pa.array([exact], pa.int64()),
+            "rel_err_pct": pa.array([round(abs(est - exact) / max(exact, 1) * 100, 3)], pa.float64()),
+        }
+    )
 
 
 def _q_docs_dedup_components(sf_dir: str):
@@ -504,8 +546,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_count": _q_docs_word_count,
         "docs_quality": _q_docs_quality,
         "knn_brute": _q_knn_brute,
+        "knn_batch": _q_knn_batch,
         # rows-only (no faithful ANSI-SQL equivalent)
         "docs_dedup_components": _q_docs_dedup_components,
+        "events_user_approx_distinct": _q_events_user_approx_distinct,
         "docs_ngram_pairs": _q_docs_ngram_pairs,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -701,6 +745,19 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '\\S')) * 1.0
                          / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS mean_word_len
             FROM documents
+        """,
+        "knn_batch": """
+            SELECT query_id, vec_id, cos FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                e.vec_id
+                     ) AS rn
+              FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+              WHERE e.vec_id >= 5
+            ) WHERE rn <= 3
         """,
         "knn_brute": """
             SELECT e.vec_id,

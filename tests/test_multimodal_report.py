@@ -188,3 +188,14 @@ def test_langid_on_real_snippets(ray_session):
     )
     out = langid(docs).to_pandas().set_index("doc_id")["lang_pred"]
     assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "unknown"
+
+
+def test_hll_approx_distinct(ray_session):
+    import ray.data as rd
+
+    from rayfrontier.functions.sketches import approx_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    exact = len(ds.unique("user_id"))
+    assert abs(est - exact) / exact < 0.05
