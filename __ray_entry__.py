@@ -671,10 +671,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
             FROM (
               SELECT user_id, ts,
-                     sum(new_sess) OVER (
+                     -- BIGINT cast: DuckDB's windowed sum yields DECIMAL(38,0),
+                     -- which value-hashes differently from the engine's int64
+                     CAST(sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
-                     ) AS session_id
+                     ) AS BIGINT) AS session_id
               FROM (
                 SELECT user_id, event_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL

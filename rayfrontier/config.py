@@ -22,7 +22,8 @@ class CrawlConfig:
     expand_slack: int = 2              # prefetch expands max_depth+slack pages/domain
     n_seen_shards: int = 8             # cuckoo-filter actor shards
     n_politeness_shards: int = 4
-    respect_robots: bool = False       # reference has no robots handling (SURVEY T6)
+    # robots gating is enabled by passing robots= to CrawlEngine (reference has
+    # no robots handling, SURVEY T6 — the engine adds it as an opt-in object)
     tentative_shards: int = 1          # >1: distribute the prefetch-prediction
                                        # replay over contiguous domain ranges as
                                        # Ray tasks (scheduling-only; committed

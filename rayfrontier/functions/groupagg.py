@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .hashing import splitmix64
+from .hashing import fnv1a64, splitmix64
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -36,9 +36,15 @@ def _part_of(t: pa.Table, keys: list[str], nparts: int) -> np.ndarray:
         col = t[k].to_numpy(zero_copy_only=False)
         if col.dtype.kind in ("i", "u"):
             vals = col.astype(np.uint64)
-        else:  # strings etc: hash python objects (rare path; prefer int keys)
+        else:
+            # strings etc (rare path; prefer int keys): MUST be a deterministic
+            # hash — Python's hash() is PYTHONHASHSEED-salted per process, so
+            # the same key hashed in different Ray workers would land in
+            # different partitions, silently splitting groups
             vals = np.fromiter(
-                (hash(x) & 0xFFFFFFFFFFFFFFFF for x in col), dtype=np.uint64, count=len(col)
+                (fnv1a64(str(x).encode("utf-8", "surrogatepass")) for x in col),
+                dtype=np.uint64,
+                count=len(col),
             )
         with np.errstate(over="ignore"):
             acc = splitmix64(acc ^ vals)

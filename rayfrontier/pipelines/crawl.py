@@ -179,8 +179,13 @@ class _DomainReplay:
         while i < len(links):
             la = self._get(links[i], depth=1)
             if la is _PENDING:
-                # every current list entry is a certain future fetch — prefetch all
+                # every current list entry is a certain future fetch — prefetch
+                # all (except robots-disallowed URLs, which _get treats as
+                # FAILED and must never enter the want-set)
+                robots = self.e.robots
                 for l in links[i + 1 :]:
+                    if robots is not None and robots.disallowed(l):
+                        continue
                     j = self.e.resolve(l)
                     if j is not None and image_id(j) not in self.e.artifacts:
                         self._want(image_id(j), 1)
@@ -237,15 +242,17 @@ class _ReplayView:
 
 
 def _replay_range(dcfg, cfg, domains, lo, hi, link_dict, policy_dict, artifacts, flows,
-                  n_flows):
+                  n_flows, robots=None):
     """Tentative replay of domains[lo:hi] against committed state + the
     one-wave-stale cross-range href flow (union of the previous wave's local
     overlays of ranges earlier than this one). Returns (pending, flow_local).
 
     Scheduling-only: the committed pass on the driver is the single source of
     output truth; a misprediction here costs at most one extra (small) wave.
+    ``robots`` mirrors the engine's gate so disallowed URLs never enter the
+    prefetch want-set (they'd be fetched for nothing, wasting fetch budget).
     """
-    view = _ReplayView(dcfg, cfg, artifacts)
+    view = _ReplayView(dcfg, cfg, artifacts, robots=robots)
     link_ov, policy_ov = Overlay(link_dict), Overlay(policy_dict)
     for f in flows[:n_flows]:
         link_ov.local.update(f)
@@ -432,7 +439,7 @@ class CrawlEngine:
                 continue
             f = _replay_range_task.remote(
                 self.dcfg, self.cfg, self._domains_ref, lo, hi,
-                link_ref, policy_ref, art_ref, flows_ref, r,
+                link_ref, policy_ref, art_ref, flows_ref, r, self.robots,
             )
             futs.append(f)
             live.append(f)

@@ -84,25 +84,36 @@ def summary_report(domains: pa.Table, crawl_log: pa.Table) -> str:
 def write_partitioned(ds, out_dir: str, partition_col: str, run_id: str = "run0") -> dict:
     """Resumable partitioned parquet sink (K10 replacement).
 
-    Layout: ``{out_dir}/{run_id}/{partition_col}=<v>/*.parquet`` plus an atomic
-    ``_manifest.json`` written AFTER the data — a re-run checks the manifest
-    and skips the whole write if complete (never one giant file, never a wipe).
+    Layout: ``{out_dir}/{run_id}/{partition_col}=<v>/*.parquet`` plus a
+    ``_manifest.json``. Writes land in a staging directory and the whole run
+    commits with one atomic rename — a run that crashes mid-write leaves only
+    the staging dir (wiped on retry), never a half-written committed run whose
+    re-run would append duplicate UUID-named files. A re-run of a committed
+    run_id is a no-op (never one giant file, never a wipe of committed data).
     """
+    import shutil
+
     root = os.path.join(out_dir, run_id)
     manifest_path = os.path.join(root, "_manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             return json.load(f)
-    os.makedirs(root, exist_ok=True)
-    ds.write_parquet(root, partition_cols=[partition_col])
+    if os.path.exists(root):
+        # committed-manifest absent ⇒ a previous attempt died mid-write;
+        # its partial files are unmanifested and safe to discard
+        shutil.rmtree(root)
+    staging = os.path.join(out_dir, f".{run_id}.inprogress")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging, exist_ok=True)
+    ds.write_parquet(staging, partition_cols=[partition_col])
     parts = sorted(
-        d for d in os.listdir(root) if d.startswith(f"{partition_col}=")
+        d for d in os.listdir(staging) if d.startswith(f"{partition_col}=")
     )
     manifest = {"run_id": run_id, "partition_col": partition_col, "partitions": parts}
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
+    with open(os.path.join(staging, "_manifest.json"), "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, manifest_path)  # atomic commit
+    os.replace(staging, root)  # atomic commit of data + manifest together
     return manifest
 
 

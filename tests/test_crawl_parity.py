@@ -190,6 +190,34 @@ def test_engine_matches_oracle_randomized(ray_session, tmp_path, seed, n_images,
     eng.shutdown()
 
 
+def test_robots_gating_distributed_replay(ray_session, corpus, small_cfg):
+    """Robots rules must also gate the DISTRIBUTED tentative replay: with
+    tentative_shards>1 the prefetch want-set must not contain disallowed URLs
+    (same outputs as serial, and no extra fetches of blocked pages)."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+    from rayfrontier.state.politeness import StaticRobots
+
+    robots = StaticRobots({"site0000.com": ("/img",)})
+    cfg_serial = CrawlConfig()
+    cfg_dist = CrawlConfig(tentative_shards=8)
+    serial = CrawlEngine(corpus, small_cfg, cfg_serial, robots=robots).run()
+    dist = CrawlEngine(corpus, small_cfg, cfg_dist, robots=robots).run()
+    assert [tuple(r) for r in dist.crawl_rows] == [tuple(r) for r in serial.crawl_rows]
+    assert dist.link_dict == serial.link_dict
+    # the tentative pass applies the same disallow check as the committed one:
+    # no blocked page (host 0, non-landing → path /img...) is ever fetched,
+    # not even speculatively
+    hm = dist.resolver.hm
+    for eng in (serial, dist):
+        for iid in eng.fetched_ids:
+            idx = int(iid[3:])
+            host = int(np.searchsorted(hm.starts, idx, side="right") - 1)
+            if host == 0:
+                assert idx == hm.starts[0], f"blocked page fetched: {iid}"
+    serial.shutdown()
+    dist.shutdown()
+
+
 def test_engine_parity_distributed_replay(ray_session, corpus, small_cfg):
     """tentative_shards > 1 distributes prefetch prediction over Ray tasks;
     committed outputs must be bit-identical to the sequential-replay engine."""
