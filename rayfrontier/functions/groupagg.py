@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .blocks import from_pandas_bare
 from .hashing import fnv1a64, splitmix64
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -64,11 +65,15 @@ def coarse_group_aggregate(
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column("_part", pa.array(_part_of(t, keys, nparts), pa.int32()))
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return agg(g.drop(columns=["_part"]))
+    def run(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: pandas-format blocks carry dict-shaped schemas
+        # Ray can't hash (one warning per block, schema dedup skipped); the
+        # pandas hop happens privately inside the fn
+        out = agg(t.drop_columns(["_part"]).to_pandas())
+        return from_pandas_bare(out)
 
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
-        run, batch_format="pandas"
+        run, batch_format="pyarrow"
     )
 
 

@@ -123,7 +123,8 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
         ).astype(np.int32)
         return t.append_column("part", pa.array(part, pa.int32()))
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         out_a, out_b = [], []
         for (_b, _h), grp in g.groupby(["band", "band_hash"], sort=False):
             ids = sorted(grp["doc_id"].unique().tolist())
@@ -133,13 +134,15 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
-        df = pd.DataFrame({"a": out_a, "b": out_b})
-        return df.drop_duplicates() if len(df) else df
+        df = pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
+        return pa.table(
+            {"a": pa.array(df["a"], pa.int64()), "b": pa.array(df["b"], pa.int64())}
+        )
 
     pairs = (
         bands.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(partition_pairs, batch_format="pandas")
+        .map_groups(partition_pairs, batch_format="pyarrow")
     )
     # distinct candidate pairs (a,b can surface from several bands/partitions);
     # pair cardinality scales with data → coarse-partitioned distinct
@@ -219,7 +222,8 @@ def simhash_pairs(docs, max_hamming: int = 3):
         ).astype(np.int32)
         return t.append_column("part", pa.array(part, pa.int32()))
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         a, b, hm = [], [], []
         for (_band, _key), grp in g.groupby(["band", "key"], sort=False):
             rows = grp.drop_duplicates("doc_id").sort_values("doc_id")
@@ -234,7 +238,13 @@ def simhash_pairs(docs, max_hamming: int = 3):
                         a.append(ids[i])
                         b.append(ids[j])
                         hm.append(d)
-        return pd.DataFrame({"a": a, "b": b, "hamming": hm})
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "hamming": pa.array(hm, pa.int64()),
+            }
+        )
 
     from ..functions.groupagg import pair_min
 
@@ -242,7 +252,7 @@ def simhash_pairs(docs, max_hamming: int = 3):
     pairs = (
         sk.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(partition_pairs, batch_format="pandas")
+        .map_groups(partition_pairs, batch_format="pyarrow")
     )
     return pair_min(pairs, "hamming")
 
@@ -272,26 +282,31 @@ def embedding_dups(embeds, cos_threshold: float = 0.95, id_col: str = "vec_id"):
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(id_col)
         ids = g[id_col].tolist()
-        if len(ids) < 2 or len(ids) > 500:
-            return pd.DataFrame({"a": [], "b": [], "cos": []})
-        units = np.array(g["unit"].tolist())
-        sims = units @ units.T
         a, b, c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= cos_threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    c.append(float(sims[i, j]))
-        return pd.DataFrame({"a": a, "b": b, "cos": c})
+        if 2 <= len(ids) <= 500:
+            units = np.array(g["unit"].tolist())
+            sims = units @ units.T
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if sims[i, j] >= cos_threshold:
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        c.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "cos": pa.array(c, pa.float64()),
+            }
+        )
 
     from ..functions.groupagg import pair_max
 
     sk = embeds.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs = sk.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = sk.groupby("key").map_groups(bucket_pairs, batch_format="pyarrow")
     return pair_max(pairs, "cos")
 
 

@@ -224,17 +224,24 @@ def tag_projection(elements, tag: str):
 
 def sequential_text(elements):
     """K5: per-doc "tN\\ntext" concatenation in seq order
-    (``parser-tokenizer.py:291-296``) — intra-doc sort inside map_groups."""
-    import pandas as pd
+    (``parser-tokenizer.py:291-296``). Doc cardinality scales with data, so
+    this is a coarse-partitioned aggregate (functions/groupagg): one pandas
+    string-concat groupby per partition, never a Ray group per document."""
+    import pandas as pd  # noqa: F401
 
-    def concat(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq_idx")
-        body = "\n".join(
-            f"{tag}{idx}\n{text}" for tag, idx, text in zip(g["tag"], g["tag_idx"], g["text"])
-        )
-        return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "sequential_text": [body]})
+    from ..functions.groupagg import coarse_group_aggregate
 
-    return elements.groupby("doc_id").map_groups(concat, batch_format="pandas")
+    def concat(df):
+        df = df.sort_values(["doc_id", "seq_idx"])
+        piece = df["tag"] + df["tag_idx"].astype(str) + "\n" + df["text"]
+        out = piece.groupby(df["doc_id"].to_numpy(), sort=False).agg("\n".join)
+        return out.rename_axis("doc_id").reset_index(name="sequential_text")
+
+    return coarse_group_aggregate(
+        elements.select_columns(["doc_id", "seq_idx", "tag", "tag_idx", "text"]),
+        ["doc_id"],
+        concat,
+    )
 
 
 RULE_HIST_BINS = list(range(0, 401, 10))  # reference's fixed bins (sentences.py:180)

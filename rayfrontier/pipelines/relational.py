@@ -21,9 +21,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from rayfrontier.functions.blocks import read_parquet_bare
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_bare(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 from rayfrontier.functions.rounding import quantize_cols as _round_cols
@@ -166,12 +166,15 @@ def q_top_lineitems_per_flag(sf_dir: str, k: int = 3):
     """Per-group top-k via groupby().map_groups — the per-host heap shape."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
+    def topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(
             ["l_extendedprice", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
-        ).head(k)
+        )
+        from rayfrontier.functions.blocks import from_pandas_bare
 
-    out = ds.groupby("l_returnflag").map_groups(topk, batch_format="pandas")
+        return from_pandas_bare(g.head(k))
+
+    out = ds.groupby("l_returnflag").map_groups(topk, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -261,23 +264,23 @@ def q_lineitem_quantiles(sf_dir: str):
     sorted[ceil(q*n)-1], DuckDB quantile_disc semantics)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
-    def quants(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["l_extendedprice"].to_numpy())
+    def quants(t: pa.Table) -> pa.Table:
+        v = np.sort(t["l_extendedprice"].to_numpy(zero_copy_only=False))
         n = len(v)
 
         def qd(q: float) -> float:
             return float(v[min(int(np.ceil(q * n)) - 1, n - 1)])
 
-        return pd.DataFrame(
+        return pa.table(
             {
-                "l_returnflag": [g["l_returnflag"].iloc[0]],
-                "p50": [qd(0.5)],
-                "p90": [qd(0.9)],
-                "p99": [qd(0.99)],
+                "l_returnflag": t["l_returnflag"].slice(0, 1),
+                "p50": pa.array([qd(0.5)], pa.float64()),
+                "p90": pa.array([qd(0.9)], pa.float64()),
+                "p99": pa.array([qd(0.99)], pa.float64()),
             }
         )
 
-    out = ds.groupby("l_returnflag").map_groups(quants, batch_format="pandas")
+    out = ds.groupby("l_returnflag").map_groups(quants, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -285,64 +288,75 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization (the streaming-window operator family, SURVEY.md §2.11):
     per-user event stream split on >gap inactivity; one row per session.
 
-    Shuffle key = user_id (one groupby); session logic vectorized in numpy per
-    group. Deterministic tie-break (ts, event_id) on both engine and oracle.
+    User cardinality scales with the data, so this routes through
+    functions/groupagg.coarse_group_aggregate (64 fixed partitions keyed on
+    user_id) instead of a native per-user groupby — the session logic runs
+    once per PARTITION, fully vectorized over all its users at once.
+    Deterministic tie-break (ts, event_id) on both engine and oracle.
     """
+    from rayfrontier.functions.groupagg import coarse_group_aggregate
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        new_sess = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sess_id = np.cumsum(new_sess)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sess_id, "ts": ts})
-        return (
-            out.groupby(["user_id", "session_id"], as_index=False)
-            .agg(n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        n = len(df)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            new_sess[1:] = np.where(same_user & (np.diff(ts) <= gap), 0, 1)
+        csum = np.cumsum(new_sess)
+        # session id restarts at 1 per user: subtract the running count as of
+        # each user's first row (segmented cumsum, no per-user loop)
+        first_idx = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_len = np.diff(np.r_[first_idx, n])
+        base = np.repeat(csum[first_idx] - 1, seg_len)
+        out = pd.DataFrame({"user_id": uid, "session_id": csum - base, "ts": ts})
+        agg = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max")
         )
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return t.set_column(
-        t.schema.get_field_index("n_events"),
-        "n_events",
-        pc.cast(t["n_events"], pa.int64()),
-    )
+    out = coarse_group_aggregate(ds, ["user_id"], sessions)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def q_click_last_purchase(sf_dir: str):
     """As-of join: for every click event, the timestamp of the same user's
-    most recent STRICTLY PRIOR purchase (SURVEY.md custom-operator case (a):
-    groupby(user) + intra-group sorted scan — no cross-group state needed
-    because the as-of key is also the partition key)."""
+    most recent STRICTLY PRIOR purchase (SURVEY.md custom-operator case (a)).
+
+    The as-of key (user_id) is also the partition key, so no cross-group
+    state is needed; user cardinality scales with data, so partitioning is
+    coarse (functions/groupagg) and the per-partition scan is a segmented
+    running-max over ALL users at once (Cython groupby.cummax/shift), never a
+    per-user map_groups call."""
+    from rayfrontier.functions.groupagg import coarse_group_aggregate
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        is_p = (g["event_type"] == "purchase").to_numpy()
-        ts = g["ts"].to_numpy()
-        # running max purchase-ts over strict predecessors
-        purchase_ts = np.where(is_p, ts, np.datetime64("NaT"))
-        prior = np.maximum.accumulate(
-            np.where(np.isnat(purchase_ts), np.datetime64(0, "us"), purchase_ts)
-        )
-        prior_shifted = np.concatenate(([np.datetime64(0, "us")], prior[:-1]))
-        mask = (g["event_type"] == "click").to_numpy()
-        res = pd.DataFrame(
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        pts = df["ts"].where(df["event_type"] == "purchase")
+        by_user = df["user_id"]
+        # cummax leaves NaT at non-purchase rows; ffill carries the running
+        # max forward within each user before taking the strict predecessor
+        run = pts.groupby(by_user, sort=False).cummax().groupby(by_user, sort=False).ffill()
+        last = run.groupby(by_user, sort=False).shift(1)  # strict predecessor
+        mask = (df["event_type"] == "click").to_numpy()
+        return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy()[mask],
-                "user_id": g["user_id"].to_numpy()[mask],
-                "ts": ts[mask],
-                "last_purchase_ts": prior_shifted[mask],
+                "event_id": df["event_id"].to_numpy()[mask],
+                "user_id": df["user_id"].to_numpy()[mask],
+                "ts": df["ts"].to_numpy()[mask],
+                "last_purchase_ts": last.to_numpy()[mask],
             }
         )
-        res.loc[res["last_purchase_ts"] == pd.Timestamp(0), "last_purchase_ts"] = pd.NaT
-        return res
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    out = coarse_group_aggregate(ds, ["user_id"], asof)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -423,16 +437,25 @@ def q_event_hopping(sf_dir: str, size_h: int = 2, hop_h: int = 1):
 
 def q_customer_running_total(sf_dir: str):
     """Cumulative window per key: running order-value per customer in
-    (date, key) order — per-group sorted cumsum inside map_groups."""
+    (date, key) order — coarse-partitioned (customer cardinality scales with
+    data) with one segmented cumsum per partition (Cython groupby.cumsum)."""
+    from rayfrontier.functions.groupagg import coarse_group_aggregate
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        # same accumulation order as the SQL window frame → identical doubles;
-        # quantization happens once, below, on the same lattice as the oracle
-        g["running_total"] = g["o_totalprice"].cumsum()
-        return g[["o_custkey", "o_orderkey", "running_total"]]
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        # same per-key accumulation order as the SQL window frame → identical
+        # doubles; quantization happens once, below, on the oracle's lattice
+        rt = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "running_total": rt.to_numpy(),
+            }
+        )
 
-    out = ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    out = coarse_group_aggregate(ds, ["o_custkey"], running)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return _round_cols(t, {"running_total": 2})

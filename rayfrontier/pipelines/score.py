@@ -73,15 +73,19 @@ def scores_dataset(pages, ground_truth: str, dictionary: frozenset, threshold: f
         concurrency=(1, 8),
     )
 
-    # exact first-wins dedup: groupby(text_hash), winner = min doc_id
+    # exact first-wins dedup, winner = min doc_id: text_hash cardinality
+    # scales with document count, so this is a coarse-partitioned aggregate
+    # (functions/groupagg), never a native per-hash groupby
     import pandas as pd
 
-    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        g["dup"] = [False] + [True] * (len(g) - 1)
-        return g
+    from ..functions.groupagg import coarse_group_aggregate
 
-    deduped = scored.groupby("text_hash").map_groups(mark_dups, batch_format="pandas")
+    def mark_dups(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_hash", "doc_id"])
+        df["dup"] = df.duplicated("text_hash")
+        return df
+
+    deduped = coarse_group_aggregate(scored, ["text_hash"], mark_dups)
 
     def finalize(t: pa.Table) -> pa.Table:
         sim = pc.if_else(t["dup"], pa.scalar(DUP_SENTINEL, pa.float64()), t["sim"])
