@@ -36,8 +36,6 @@ from ..functions.hashing import (
 NUM_PERM = 64
 BANDS = 16
 
-_VERIFY_CACHE: dict = {}  # per-worker-process broadcast-state cache
-
 
 def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
     """First-wins exact dedup: one row per distinct text, winner = min id.
@@ -101,13 +99,11 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
     """MinHash+LSH candidate pairs verified by exact Jaccard.
 
     Stages: sketch (map_batches) → groupby(band, band_hash) → emit candidate
-    pairs per bucket → distinct pairs → verify with exact shingle Jaccard
-    (re-reading only the candidate docs' texts via a broadcast id→text map —
-    at scale this would be a keyed lookup join like the fetch path).
+    pairs per bucket → distinct pairs → verify with exact shingle Jaccard,
+    where candidate texts arrive via hash-partitioned keyed-lookup joins
+    (see _verify_pairs_jaccard) — no full-corpus broadcast.
     Returns (a, b, jaccard) with a < b, jaccard >= threshold.
     """
-    import ray
-
     sketcher = SketchStage(k=k)  # stateless-ish: ships fine as a task closure
     bands = docs.map_batches(sketcher, batch_format="pyarrow", batch_size=1024)
 
@@ -149,35 +145,61 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
     from ..functions.groupagg import pair_distinct
 
     distinct = pair_distinct(pairs)
+    return _verify_pairs_jaccard(distinct, docs, k, jaccard_threshold)
 
-    # verification: broadcast id→text as an Arrow table ref (zero-copy in the
-    # object store); TASK-based stage with per-worker-process cached state —
-    # an actor pool pays multi-second spin-up per query run, while the
-    # module-level cache amortizes state build the same way without it. At
-    # 100 TB this becomes a keyed-lookup join on (a) then (b).
-    texts_ref = ray.put(docs.select_columns(["doc_id", "text"]).to_arrow_refs())
-    kk, thr = k, jaccard_threshold
+
+def _verify_pairs_jaccard(pairs, docs, k: int, threshold: float):
+    """Exact-Jaccard verification of candidate (a, b) pairs as a KEYED LOOKUP:
+    texts ride two hash-partitioned joins (on a, then on b), so the shuffle
+    carries only the candidate rows' texts — never a full-corpus id→text
+    broadcast to every worker (which is O(corpus × workers) memory at 100 TB).
+    Per-worker shingle memo amortizes re-shingling of ids that appear in many
+    pairs within a partition."""
+    import pyarrow.compute as pc
+
+    from ..functions.joins import hash_join
+
+    texts = docs.select_columns(["doc_id", "text"])
+
+    def keep_a(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"], "text_a": t["text"]})
+
+    # nparts deliberately small: BOTH joins' aggregator pools are alive at
+    # once (join2 streams join1's output) at 0.5 CPU per aggregator; sizing
+    # each pool to ~1/8 of the cluster leaves CPUs for the task operators
+    # (at 32 partitions each the pools would reserve the whole 32-CPU
+    # cluster and deadlock)
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, ncpu // 4)
+    j1 = hash_join(pairs, texts, on="a", right_on="doc_id", nparts=nparts).map_batches(
+        keep_a, batch_format="pyarrow"
+    )
+
+    def keep_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "text_a": t["text_a"], "text_b": t["text"]}
+        )
+
+    j2 = hash_join(j1, texts, on="b", right_on="doc_id", nparts=nparts).map_batches(
+        keep_b, batch_format="pyarrow"
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        sh_cache: dict[int, np.ndarray] = {}
 
-        key = ("minhash_verify", texts_ref.hex())
-        st = _VERIFY_CACHE.get(key)
-        if st is None:
-            tab = pa.concat_tables(ray.get(ray.get(texts_ref)))
-            st = (dict(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist())), {})
-            _VERIFY_CACHE.clear()
-            _VERIFY_CACHE[key] = st
-        texts, sh_cache = st
-
-        def sh(i: int) -> np.ndarray:
-            if i not in sh_cache:
-                sh_cache[i] = shingle_hashes(texts[i], kk)
-            return sh_cache[i]
+        def sh(i: int, text: str) -> np.ndarray:
+            got = sh_cache.get(i)
+            if got is None:
+                got = sh_cache[i] = shingle_hashes(text, k)
+            return got
 
         a = t["a"].to_pylist()
         b = t["b"].to_pylist()
-        jac = [jaccard(sh(x), sh(y)) for x, y in zip(a, b)]
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        jac = [jaccard(sh(x, xa), sh(y, yb)) for x, xa, y, yb in zip(a, ta, b, tb)]
         out = pa.table(
             {
                 "a": pa.array(a, pa.int64()),
@@ -185,9 +207,9 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
-        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(thr)))
+        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(threshold)))
 
-    return distinct.map_batches(verify, batch_format="pyarrow", batch_size=4096)
+    return j2.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 def simhash_pairs(docs, max_hamming: int = 3):

@@ -93,6 +93,38 @@ def test_frame_sample_explodes(ray_session):
     assert m[("v0", 2)] == frames[2]
 
 
+def test_minhash_pairs_match_bruteforce(ray_session):
+    """Keyed-lookup verification: every pair minhash_lsh_pairs reports must
+    carry the EXACT brute-force Jaccard, and strongly-similar pairs (true
+    jaccard >= 0.8) must all be recalled (LSH misses only weak candidates)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayfrontier.pipelines.dedup import minhash_lsh_pairs
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.5).to_pandas()
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sh = {i: shingle_hashes(x, 3) for i, x in zip(ids, t["text"].to_pylist())}
+    truth = {}
+    ids_sorted = sorted(ids)
+    for i, a in enumerate(ids_sorted):
+        for b in ids_sorted[i + 1 :]:
+            j = jaccard(sh[a], sh[b])
+            if j >= 0.5:
+                truth[(a, b)] = j
+    got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    for p, j in got.items():
+        assert p in truth and truth[p] == pytest.approx(j), f"wrong jaccard for {p}"
+    strong = {p for p, j in truth.items() if j >= 0.8}
+    assert strong, "fixture must contain strong near-dups"
+    missed = strong - set(got)
+    assert len(missed) <= max(1, len(strong) // 20), f"LSH missed strong pairs: {missed}"
+
+
 def test_ngram_jaccard_exact(ray_session):
     import ray.data as rd
 
