@@ -94,6 +94,45 @@ def apply_sentence_rules(sentence: str, rule_dict: dict) -> list[str]:
     return hits
 
 
+def apply_rules_vectorized(sentences, rule_dict: dict) -> tuple[list[list[str]], "object"]:
+    """Vectorized :func:`apply_sentence_rules` over an Arrow string array.
+
+    Regex rules run as one RE2 kernel per rule (``pc.match_substring_regex``
+    with the pattern start-anchored to mirror ``re.match``); SHORT/HEAD_FRAG
+    run as arithmetic over per-sentence word/cap-word counts. Returns
+    (hits-per-sentence in rule order with the GOOD default, word counts).
+    Parity with the scalar kernel is pinned by a test over the full synthetic
+    corpus (RE2 and ``re`` agree on the rules grammar used here).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(sentences)
+    nw = pc.count_substring_regex(sentences, r"\S+").to_numpy(zero_copy_only=False)
+    hits: list[list[str]] = [[] for _ in range(n)]
+    for name, rule in rule_dict.items():
+        if name == "SHORT":
+            mask = nw < rule[0]
+        elif name == "HEAD_FRAG":
+            caps = pc.count_substring_regex(sentences, r"\S*\p{Lu}\S*").to_numpy(
+                zero_copy_only=False
+            )
+            mask = np.zeros(n, dtype=bool)
+            nz = nw > 0
+            mask[nz] = caps[nz] / nw[nz] > rule[0]
+        else:
+            m = pc.match_substring_regex(
+                sentences, "^(?:" + rule[0].pattern + ")"
+            ).to_numpy(zero_copy_only=False)
+            mask = m if rule[1] == "True" else ~m
+        for i in np.flatnonzero(mask):
+            hits[i].append(name)
+    for h in hits:
+        if not h:
+            h.append("GOOD")
+    return hits, nw
+
+
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LETTERS_AND_SPACE = frozenset(_UPPER + _UPPER.lower() + " \t\n")
 

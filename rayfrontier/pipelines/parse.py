@@ -26,7 +26,6 @@ import pyarrow as pa
 from ..functions.minihtml import compare_parsed_text, strip_text, walk_elements
 from ..functions.textrules import (
     DEFAULT_RULES_JSON,
-    apply_sentence_rules,
     build_rule_dict,
     split_sentences,
 )
@@ -95,35 +94,47 @@ class SentencesStage:
         self.rules = build_rule_dict(rules_json)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in ("doc_id", "seq_idx", "tag", "prec_by", "proc_by", "sent_idx", "text", "n_words", "rule_hits")}
-        for k in range(batch.num_rows):
-            tag = batch["tag"][k].as_py()
-            if tag not in ("p", "h") or not batch["parse_ok"][k].as_py():
-                continue
-            content = batch["text"][k].as_py()
-            tag_label = tag + str(batch["tag_idx"][k].as_py())
-            for j, sent in enumerate(split_sentences(content)):
-                hits = apply_sentence_rules(sent, self.rules)
-                out["doc_id"].append(batch["doc_id"][k].as_py())
-                out["seq_idx"].append(batch["seq_idx"][k].as_py())
-                out["tag"].append(tag_label)
-                out["prec_by"].append(batch["prec_by"][k].as_py())
-                out["proc_by"].append(batch["proc_by"][k].as_py())
-                out["sent_idx"].append(j)
-                out["text"].append(sent)
-                out["n_words"].append(len(sent.split()))
-                out["rule_hits"].append(hits)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..functions.textrules import apply_rules_vectorized
+
+        # row gate + column access vectorized: one filter, one to_pylist per
+        # needed column (the old per-cell .as_py() chatter was the hot spot)
+        sel = batch.filter(
+            pc.and_(
+                pc.is_in(batch["tag"], value_set=pa.array(["p", "h"])),
+                batch["parse_ok"],
+            )
+        )
+        texts = sel["text"].to_pylist()
+        # sentence splitting is inherently per-element; explode to flat arrays
+        sents: list[str] = []
+        rep: list[int] = []
+        sidx: list[int] = []
+        for i, content in enumerate(texts):
+            ss = split_sentences(content)
+            sents.extend(ss)
+            rep.extend([i] * len(ss))
+            sidx.extend(range(len(ss)))
+        sent_arr = pa.array(sents, pa.large_string())
+        rep_idx = pa.array(np.asarray(rep, dtype=np.int64))
+        # M13 rule tagging: one RE2 kernel per rule over the exploded array
+        hits, nw = apply_rules_vectorized(sent_arr, self.rules)
+        tag_label = pc.binary_join_element_wise(
+            sel["tag"], pc.cast(sel["tag_idx"], pa.string()), ""
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "seq_idx": pa.array(out["seq_idx"], pa.int32()),
-                "tag": pa.array(out["tag"], pa.string()),
-                "prec_by": pa.array(out["prec_by"], pa.string()),
-                "proc_by": pa.array(out["proc_by"], pa.string()),
-                "sent_idx": pa.array(out["sent_idx"], pa.int32()),
-                "text": pa.array(out["text"], pa.large_string()),
-                "n_words": pa.array(out["n_words"], pa.int32()),
-                "rule_hits": pa.array(out["rule_hits"], pa.list_(pa.string())),
+                "doc_id": pc.take(sel["doc_id"], rep_idx),
+                "seq_idx": pc.take(sel["seq_idx"], rep_idx),
+                "tag": pc.take(tag_label, rep_idx),
+                "prec_by": pc.take(sel["prec_by"], rep_idx),
+                "proc_by": pc.take(sel["proc_by"], rep_idx),
+                "sent_idx": pa.array(np.asarray(sidx, dtype=np.int32), pa.int32()),
+                "text": sent_arr,
+                "n_words": pa.array(nw.astype(np.int32), pa.int32()),
+                "rule_hits": pa.array(hits, pa.list_(pa.string())),
             }
         )
 

@@ -201,3 +201,46 @@ def test_hashing_sketches():
     assert hashing.hamming64(s1, s2) < hashing.hamming64(s1, s3)
     assert hashing.hash_text("x") == hashing.hash_text("x")
     assert hashing.rolling_fingerprint("hello world " * 10) == hashing.rolling_fingerprint("hello world " * 10)
+
+
+def test_vectorized_rules_match_scalar():
+    """apply_rules_vectorized (RE2 kernels) must agree with the scalar
+    apply_sentence_rules (Python re) on every sentence of a full synthetic
+    corpus — guards RE2-vs-re semantic drift in the vectorized parse path."""
+    import pyarrow as pa
+
+    from rayfrontier.config import DatagenConfig
+    from rayfrontier.datagen import caption_html
+    from rayfrontier.functions.minihtml import strip_text, walk_elements
+    from rayfrontier.functions.textrules import (
+        apply_rules_vectorized,
+        split_sentences,
+    )
+
+    cfg = DatagenConfig(n_images=120, n_hosts=8)
+    sentences = []
+    for i in range(cfg.n_images):
+        html = caption_html(cfg, i)
+        if strip_text(html) == "":
+            continue
+        for text, tag, _idx in walk_elements(html):
+            if tag in ("p", "h"):
+                sentences.extend(split_sentences(text))
+    assert len(sentences) > 100, "corpus fixture must yield real sentences"
+    sentences.extend(
+        [
+            "",  # empty never comes out of split but the kernel must not crash
+            "1. Section heading of the policy text.",
+            "Every Word Here Is Capitalized Now.",
+            "tiny one.",
+            "This is a fine long sentence without end",
+            "This is a perfectly good sentence here.",
+            META_MARKER,
+            "Ünïcode Wörds Are Capitalized Tóo.",
+        ]
+    )
+    rules = build_rule_dict()
+    vec_hits, vec_nw = apply_rules_vectorized(pa.array(sentences, pa.large_string()), rules)
+    for s, vh, vn in zip(sentences, vec_hits, vec_nw):
+        assert vh == apply_sentence_rules(s, rules), f"rule mismatch on {s!r}"
+        assert int(vn) == len(s.split()), f"word-count mismatch on {s!r}"
