@@ -136,7 +136,7 @@ def run_query_bench() -> dict:
         "docs_word_count",
         "knn_brute",
         "docs_minhash_pairs",
-        "docs_langid",
+        "docs_sample_profile",
         "user_sessions",
         "click_last_purchase",
         "docs_ngram_pairs",

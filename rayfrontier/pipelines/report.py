@@ -22,6 +22,8 @@ def domain_outcome_stats(domains: pa.Table) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    from ..functions.rounding import quantize
+
     total = domains.num_rows
     out = (
         rd.from_arrow(domains)
@@ -30,12 +32,16 @@ def domain_outcome_stats(domains: pa.Table) -> pa.Table:
         .to_pandas()
         .sort_values("status")
     )
-    out["pct"] = (out["n"] * 100.0 / max(total, 1)).round(2)
+    # DuckDB round lattice, not pandas half-even — the pct column is
+    # value-hash-compared against the SQL oracle
+    out["pct"] = quantize(out["n"] * 100.0 / max(total, 1), 2)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def link_outcome_stats(crawl_log: pa.Table) -> pa.Table:
     """A3/A10: link success / valid / dup counts over the crawl log."""
+    from ..functions.rounding import quantize
+
     n = crawl_log.num_rows
     ok = pc.sum(pc.cast(crawl_log["ok"], pa.int64())).as_py() or 0
     valid = pc.sum(pc.cast(crawl_log["valid"], pa.int64())).as_py() or 0
@@ -46,8 +52,8 @@ def link_outcome_stats(crawl_log: pa.Table) -> pa.Table:
             "n_ok": pa.array([ok], pa.int64()),
             "n_valid": pa.array([valid], pa.int64()),
             "n_dup": pa.array([dup], pa.int64()),
-            "pct_ok": pa.array([round(ok * 100.0 / max(n, 1), 2)], pa.float64()),
-            "pct_valid": pa.array([round(valid * 100.0 / max(n, 1), 2)], pa.float64()),
+            "pct_ok": pa.array(quantize([ok * 100.0 / max(n, 1)], 2), pa.float64()),
+            "pct_valid": pa.array(quantize([valid * 100.0 / max(n, 1)], 2), pa.float64()),
         }
     )
 
