@@ -241,46 +241,48 @@ class _ReplayView:
         return val
 
 
-def _replay_range(dcfg, cfg, domains, lo, hi, link_dict, policy_dict, artifacts, flows,
-                  n_flows, robots=None):
-    """Tentative replay of domains[lo:hi] against committed state + the
-    one-wave-stale cross-range href flow (union of the previous wave's local
-    overlays of ranges earlier than this one). Returns (pending, flow_local).
+class _ReplayRangeActor:
+    """Pinned actor owning the tentative replay of one contiguous domain
+    range. Holds its own copy of the committed replay state (link/policy
+    dicts, artifact map) and receives per-wave DELTAS — the 10^10-scale
+    layout: state ships once, each wave moves only that wave's new commits
+    and artifacts instead of re-broadcasting the full dicts (the round-1
+    task-based version re-``ray.put`` the whole state every wave).
 
-    Scheduling-only: the committed pass on the driver is the single source of
-    output truth; a misprediction here costs at most one extra (small) wave.
+    Scheduling-only: the committed pass on the driver is the single source
+    of output truth; a misprediction costs at most one extra (small) wave.
     ``robots`` mirrors the engine's gate so disallowed URLs never enter the
     prefetch want-set (they'd be fetched for nothing, wasting fetch budget).
     """
-    view = _ReplayView(dcfg, cfg, artifacts, robots=robots)
-    link_ov, policy_ov = Overlay(link_dict), Overlay(policy_dict)
-    for f in flows[:n_flows]:
-        link_ov.local.update(f)
-    flow_keys_in = set(link_ov.local)
-    pending: dict[str, tuple] = {}
-    for rank in range(lo, hi):
-        rep = _DomainReplay(view, link_ov, policy_ov, pending, rank)
-        rep.run(domains[rank])
-    flow_local = {k: v for k, v in link_ov.local.items() if k not in flow_keys_in}
-    return pending, flow_local
 
+    def __init__(self, dcfg, cfg, domains, lo, hi, robots=None):
+        self.view = _ReplayView(dcfg, cfg, {}, robots=robots)
+        self.link_dict: dict[str, int] = {}
+        self.policy_dict: dict[int, str] = {}
+        self.domains = domains
+        self.lo, self.hi = lo, hi
 
-def _make_replay_range_task():
-    import ray
+    def apply(self, link_delta: dict, policy_delta: dict, art_delta: dict) -> None:
+        self.link_dict.update(link_delta)
+        self.policy_dict.update(policy_delta)
+        self.view.artifacts.update(art_delta)
 
-    return ray.remote(num_cpus=1)(_replay_range)
-
-
-class _LazyReplayTask:
-    _inner = None
-
-    def remote(self, *a, **kw):
-        if self._inner is None:
-            self._inner = _make_replay_range_task()
-        return self._inner.remote(*a, **kw)
-
-
-_replay_range_task = _LazyReplayTask()
+    def replay(self, prefix: int, link_delta: dict, policy_delta: dict,
+               art_delta: dict, flow_in: dict) -> tuple[dict, dict]:
+        """Apply this wave's deltas, then tentatively replay
+        domains[max(lo, prefix):hi] against (committed state + the one-wave-
+        stale cross-range href flow of earlier ranges). Returns
+        (pending want-set, this range's new href flow)."""
+        self.apply(link_delta, policy_delta, art_delta)
+        link_ov, policy_ov = Overlay(self.link_dict), Overlay(self.policy_dict)
+        link_ov.local.update(flow_in)
+        flow_keys_in = set(link_ov.local)
+        pending: dict[str, tuple] = {}
+        for rank in range(max(self.lo, prefix), self.hi):
+            rep = _DomainReplay(self.view, link_ov, policy_ov, pending, rank)
+            rep.run(self.domains[rank])
+        flow_local = {k: v for k, v in link_ov.local.items() if k not in flow_keys_in}
+        return pending, flow_local
 
 
 # ---------------------------------------------------------------- engine
@@ -330,8 +332,11 @@ class CrawlEngine:
         self._actors = None
         self._resolve_cache: dict[str, int | None] = {}
         self._block_refs: dict[int, "ray.ObjectRef"] | None = None  # noqa: F821
-        self._domains_ref = None
+        self._replay_actors: list | None = None
+        self._replay_bounds: list[int] | None = None
         self._range_flows: list[dict] | None = None
+        # state not yet shipped to the replay range actors (delta streams)
+        self._delta_buf: dict[str, dict] = {"link": {}, "policy": {}, "art": {}}
 
     # -- pure URL→image resolution ------------------------------------------
     def resolve(self, url: str) -> int | None:
@@ -378,6 +383,10 @@ class CrawlEngine:
             done, status = rep.run(domain)
             if not done:
                 break
+            if self.cfg.tentative_shards > 1:
+                # feed the delta stream BEFORE commit clears the overlays
+                self._delta_buf["link"].update(link_ov.local)
+                self._delta_buf["policy"].update(policy_ov.local)
             link_ov.commit()
             policy_ov.commit()
             for url, sim, ok, valid, dup in rep.rows:
@@ -406,44 +415,74 @@ class CrawlEngine:
                 rep.run(self.domains[rank])
         return pending
 
-    def _replay_distributed(self, pending: dict[str, tuple]) -> None:
-        """Tentative pass as Ray tasks over contiguous domain ranges.
-
-        Each range replays against (committed dicts + artifacts) shipped per
-        wave, plus the cross-range href flow from the PREVIOUS wave (ranges
-        earlier than it). One-wave-stale flow can mispredict hrefs first seen
-        last wave — a superset/miss of at most that wave's new hrefs, healed
-        the next wave; outputs are unaffected (committed pass is
-        authoritative). At 10^10 the per-wave dict shipping becomes delta
-        streams into pinned range actors; the task layout is identical.
-        """
+    def _ensure_replay_actors(self):
+        """Create the pinned range actors and ship the full current state
+        once; afterwards each wave streams only deltas (_delta_buf)."""
+        if self._replay_actors is not None:
+            return self._replay_actors
         import ray
 
         R = self.cfg.tentative_shards
         n = len(self.domains)
-        bounds = [(n * r) // R for r in range(R + 1)]
-        if self._domains_ref is None:
-            self._domains_ref = ray.put(self.domains)
+        self._replay_bounds = [(n * r) // R for r in range(R + 1)]
+        # fractional CPUs: replay bursts are short and must coexist with the
+        # seen/politeness actors on small clusters without reserving cores
+        Actor = ray.remote(num_cpus=0.25)(_ReplayRangeActor)
+        domains_ref = ray.put(self.domains)
+        actors = [
+            Actor.remote(
+                self.dcfg, self.cfg, domains_ref,
+                self._replay_bounds[r], self._replay_bounds[r + 1], self.robots,
+            )
+            for r in range(R)
+        ]
         link_ref = ray.put(self.link_dict)
         policy_ref = ray.put(self.policy_dict)
         art_ref = ray.put(self.artifacts)
+        ray.get([a.apply.remote(link_ref, policy_ref, art_ref) for a in actors])
+        self._delta_buf = {"link": {}, "policy": {}, "art": {}}
+        self._replay_actors = actors
+        return actors
+
+    def _replay_distributed(self, pending: dict[str, tuple]) -> None:
+        """Tentative pass over contiguous domain ranges on pinned actors.
+
+        Each range actor keeps the committed state locally and receives this
+        wave's DELTA (new link/policy commits + new artifacts, ray.put once,
+        shared by all actors), plus the cross-range href flow from the
+        PREVIOUS wave (merged over ranges earlier than it). One-wave-stale
+        flow can mispredict hrefs first seen last wave — a superset/miss of
+        at most that wave's new hrefs, healed the next wave; outputs are
+        unaffected (committed pass is authoritative).
+        """
+        import ray
+
+        actors = self._ensure_replay_actors()
+        R = self.cfg.tentative_shards
+        bounds = self._replay_bounds
+        if all(max(bounds[r], self.prefix) >= bounds[r + 1] for r in range(R)):
+            return  # every range committed — nothing to predict, ship nothing
+        buf = self._delta_buf
+        link_ref = ray.put(buf["link"])
+        policy_ref = ray.put(buf["policy"])
+        art_ref = ray.put(buf["art"])
+        self._delta_buf = {"link": {}, "policy": {}, "art": {}}
         prev_flows = self._range_flows or [{} for _ in range(R)]
-        flows_ref = ray.put(prev_flows)
 
         futs = []
-        live = []
+        merged_flow: dict = {}
         for r in range(R):
+            flow_ref = ray.put(merged_flow)  # flows of ranges EARLIER than r
+            if r < len(prev_flows):
+                merged_flow = {**merged_flow, **prev_flows[r]}
             lo, hi = max(bounds[r], self.prefix), bounds[r + 1]
             if lo >= hi:
                 futs.append(None)
                 continue
-            f = _replay_range_task.remote(
-                self.dcfg, self.cfg, self._domains_ref, lo, hi,
-                link_ref, policy_ref, art_ref, flows_ref, r, self.robots,
+            futs.append(
+                actors[r].replay.remote(self.prefix, link_ref, policy_ref, art_ref, flow_ref)
             )
-            futs.append(f)
-            live.append(f)
-        results = ray.get(live)
+        results = ray.get([f for f in futs if f is not None])
         it = iter(results)
         new_flows: list[dict] = []
         for r in range(R):
@@ -591,6 +630,8 @@ class CrawlEngine:
             art = Artifact(ok=ok, text_hash=int(th), sim=float(sim), hrefs=tuple(hrefs))
             self.artifacts[iid] = art
             self.fetched_ids.add(iid)
+            if self.cfg.tentative_shards > 1:
+                self._delta_buf["art"][iid] = art
             self._wave_delta.append(
                 {
                     "image_id": iid,
@@ -763,13 +804,17 @@ class CrawlEngine:
         return self
 
     def shutdown(self) -> None:
-        """Kill this engine's pinned actors (seen shards, politeness)."""
-        if self._actors:
-            import ray
+        """Kill this engine's pinned actors (seen, politeness, replay ranges)."""
+        import ray
 
+        if self._actors:
             for a in self._actors["seen"] + self._actors["politeness"]:
                 ray.kill(a)
             self._actors = None
+        if self._replay_actors:
+            for a in self._replay_actors:
+                ray.kill(a)
+            self._replay_actors = None
 
     # -- outputs -------------------------------------------------------------------
     def crawl_log_table(self) -> pa.Table:
