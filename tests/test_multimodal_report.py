@@ -231,3 +231,38 @@ def test_hll_approx_distinct(ray_session):
     est = approx_distinct(ds, "user_id")
     exact = len(ds.unique("user_id"))
     assert abs(est - exact) / exact < 0.05
+
+
+def test_embedding_dups_recall(ray_session):
+    """Multi-table OR-amplified hyperplane LSH must recall >=90% of true
+    cosine>=0.9 pairs (a single 16-plane table sits near ~64%), and every
+    reported cosine must equal the exact value."""
+    import numpy as np
+    import ray.data as rd
+
+    from rayfrontier.pipelines.dedup import embedding_dups
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.normal(size=(60, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    # plant perturbed near-dups of the first 40 bases
+    for j in range(40):
+        noisy = base[j] + 0.12 * rng.normal(size=16)
+        rows.append({"vec_id": 60 + j, "embedding": noisy.tolist()})
+    vecs = np.array([r["embedding"] for r in rows])
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    iu = np.triu_indices(len(rows), 1)
+    truth = {
+        (int(iu[0][k]), int(iu[1][k])): float(sims[iu[0][k], iu[1][k]])
+        for k in range(len(iu[0]))
+        if sims[iu[0][k], iu[1][k]] >= 0.9
+    }
+    assert len(truth) >= 20, "fixture must plant enough near-dup pairs"
+
+    out = embedding_dups(rd.from_items(rows), cos_threshold=0.9).to_pandas()
+    got = {(int(a), int(b)): c for a, b, c in zip(out["a"], out["b"], out["cos"])}
+    for p, c in got.items():
+        assert p in truth and abs(truth[p] - c) < 1e-9, f"wrong cosine for {p}"
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} over {len(truth)} true pairs"
