@@ -530,24 +530,21 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
     return co.map_batches(score, batch_format="pyarrow")
 
 
-def dedup_components(pairs, ids, max_rounds: int = 10):
-    """Connected components over near-dup pairs: distributed min-label
-    propagation (ray_guide "connected components" pattern).
+def dedup_components(pairs, ids, max_rounds: int = 50):
+    """Connected components over near-dup pairs: min-label propagation,
+    driver-vectorized regime.
 
     ``pairs``: Dataset with (a, b) edge columns. ``ids``: Dataset with the
     full vertex set in a ``doc_id`` column. Returns (doc_id, component_id)
-    where component_id = min doc_id reachable. Each round: every edge
-    proposes min(label[a], label[b]) to both endpoints; a coarse-partitioned
-    min-aggregate merges proposals; converged when no label changes. Rounds
-    needed = graph diameter (near-dup clusters are shallow — a handful).
+    where component_id = min doc_id reachable. Rounds needed = graph
+    diameter (near-dup clusters are shallow — a handful).
 
-    The edge list is re-broadcast per round as numpy arrays (ray.put,
-    zero-copy); labels live driver-side as one int64 array — fine up to ~1e8
-    vertices; beyond that labels become a Dataset and the propagate step a
-    hash-partitioned join on vertex id.
+    Edges + labels live in driver memory as numpy arrays — appropriate while
+    the near-dup graph is a small fraction of the corpus (up to ~1e8
+    vertices / edges). Past that, use :func:`dedup_components_distributed`:
+    identical output (test-pinned), labels and edges stay Datasets and each
+    round is two keyed joins + a coarse min-aggregate.
     """
-    import ray
-
     edf = pairs.select_columns(["a", "b"]).to_pandas()
     vdf = ids.to_pandas()
     verts = np.sort(vdf["doc_id"].to_numpy(dtype=np.int64))
@@ -568,4 +565,79 @@ def dedup_components(pairs, ids, max_rounds: int = 10):
             "doc_id": pa.array(verts, pa.int64()),
             "component_id": pa.array(labels, pa.int64()),
         }
+    )
+
+
+def dedup_components_distributed(pairs, ids, max_rounds: int = 50):
+    """Connected components with labels AND edges as Datasets — the >1e8-
+    vertex path (nothing driver-side). Each round:
+
+      1. join edges to labels on a, then on b  → (a, b, la, lb)
+      2. every edge proposes min(la, lb) to both endpoints
+      3. union proposals with current labels; coarse-partitioned min per
+         vertex → next labels (functions/groupagg — vertex count scales)
+
+    Min-propagation is monotone, so the int sum of labels strictly decreases
+    until the fixpoint; convergence is detected from that one cheap
+    aggregate instead of a labels-diff join. Returns a Dataset
+    (doc_id, component_id).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.groupagg import coarse_group_aggregate
+    from ..functions.joins import hash_join
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, ncpu // 4)
+
+    labels = ids.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "label": pc.cast(t["doc_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    edges = pairs.select_columns(["a", "b"]).materialize()
+    prev_sum = None
+
+    def min_label(df):
+        return df.groupby("doc_id", as_index=False)["label"].min()
+
+    for _ in range(max_rounds):
+        cur_sum = int(labels.sum("label"))
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+        def keep_a(t: pa.Table) -> pa.Table:
+            return pa.table({"a": t["a"], "b": t["b"], "la": t["label"]})
+
+        j1 = hash_join(edges, labels, on="a", right_on="doc_id", nparts=nparts).map_batches(
+            keep_a, batch_format="pyarrow"
+        )
+
+        def propose(t: pa.Table) -> pa.Table:
+            m = pc.min_element_wise(t["la"], t["label"])
+            return pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [pc.cast(t["a"], pa.int64()).combine_chunks(),
+                         pc.cast(t["b"], pa.int64()).combine_chunks()]
+                    ),
+                    "label": pa.concat_arrays([m.combine_chunks(), m.combine_chunks()]),
+                }
+            )
+
+        proposals = hash_join(j1, labels, on="b", right_on="doc_id", nparts=nparts).map_batches(
+            propose, batch_format="pyarrow"
+        )
+        labels = coarse_group_aggregate(
+            labels.union(proposals), ["doc_id"], min_label
+        ).materialize()
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "component_id": t["label"]}),
+        batch_format="pyarrow",
     )

@@ -64,3 +64,36 @@ def test_dedup_components_matches_union_find(ray_session):
     # component ids must induce the same partition, with min-id labels
     for i in range(n):
         assert out[i] == expect[i], (i, out[i], expect[i])
+
+
+def test_dedup_components_distributed_matches_driver(ray_session):
+    """The Dataset-resident label propagation (the >1e8-vertex path) must
+    produce exactly the driver-vectorized components, including on chain
+    graphs that need several propagation rounds."""
+    import ray.data as rd
+
+    from rayfrontier.pipelines.dedup import dedup_components, dedup_components_distributed
+
+    rng = np.random.default_rng(11)
+    n = 120
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(40, 2)) if a != b]
+    # add a short chain (diameter > 1 round) in the upper id range
+    edges += [(n + i, n + i + 1) for i in range(5)]
+    n_total = n + 6
+    pairs_rows = [{"a": min(a, b), "b": max(a, b)} for a, b in edges]
+    ids_rows = [{"doc_id": i} for i in range(n_total)]
+
+    driver = (
+        dedup_components(rd.from_items(pairs_rows), rd.from_items(ids_rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        dedup_components_distributed(rd.from_items(pairs_rows), rd.from_items(ids_rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert driver["doc_id"].tolist() == dist["doc_id"].tolist()
+    assert driver["component_id"].tolist() == dist["component_id"].tolist()
