@@ -43,8 +43,10 @@ def hash_join(left, right, on: str, right_on: str | None = None, how: str = "inn
         import ray
 
         # native join spawns num_partitions aggregator ACTORS; cap by cluster
-        # CPUs and give them fractional cpus, or a small cluster deadlocks
-        # waiting for actors that can never schedule
+        # CPUs and give them small fractional cpus, or a small cluster
+        # deadlocks waiting for actors that can never schedule — and chained
+        # joins (two pools alive at once) plus pinned engine actors must
+        # still leave task slots free at 4 CPUs
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         parts = max(2, min(nparts, ncpu))
         return left.join(
@@ -53,7 +55,7 @@ def hash_join(left, right, on: str, right_on: str | None = None, how: str = "inn
             num_partitions=parts,
             on=(on,),
             right_on=(right_on,),
-            aggregator_ray_remote_args={"num_cpus": 0.5},
+            aggregator_ray_remote_args={"num_cpus": 0.25},
         )
 
     # portable explicit fallback: tag side, bucket, union, merge per bucket

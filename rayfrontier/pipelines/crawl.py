@@ -359,8 +359,12 @@ class CrawlEngine:
         from ..state.cuckoo import SeenShard
         from ..state.politeness import PolitenessShard
 
-        Seen = ray.remote(num_cpus=0.1)(SeenShard)
-        Pol = ray.remote(num_cpus=0.05)(PolitenessShard)
+        # num_cpus=0: these actors are RPC-bound (batched probe/grant calls),
+        # not CPU-bound; reserving fractions starves task operators on small
+        # clusters when join aggregator pools are also alive (observed
+        # deadlock at 4 CPUs: 1.0 CPU of state actors + 2.0 of join pools)
+        Seen = ray.remote(num_cpus=0)(SeenShard)
+        Pol = ray.remote(num_cpus=0)(PolitenessShard)
         seen = [Seen.remote(capacity=1 << 18, seed=11 + s) for s in range(self.cfg.n_seen_shards)]
         pol = [
             Pol.remote(tokens_per_wave=self.cfg.host_tokens_per_wave, burst=2 * self.cfg.host_tokens_per_wave)

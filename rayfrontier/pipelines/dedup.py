@@ -106,7 +106,9 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
     Returns (a, b, jaccard) with a < b, jaccard >= threshold.
     """
     sketcher = SketchStage(k=k)  # stateless-ish: ships fine as a task closure
-    bands = docs.map_batches(sketcher, batch_format="pyarrow", batch_size=1024)
+    # batch_size=None: one task per input block — an explicit batch_size
+    # bundles blocks and strangles the CPU-heavy sketch stage's parallelism
+    bands = docs.map_batches(sketcher, batch_format="pyarrow", batch_size=None)
 
     # co-locate equal (band, band_hash) via a COARSE partition key, then do the
     # fine-grained bucket grouping vectorized in pandas per partition — one
@@ -271,7 +273,7 @@ def simhash_pairs(docs, max_hamming: int = 3):
 
     from ..functions.groupagg import pair_min
 
-    sk = docs.map_batches(sketch, batch_format="pyarrow", batch_size=1024)
+    sk = docs.map_batches(sketch, batch_format="pyarrow", batch_size=None)
     pairs = (
         sk.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
@@ -350,7 +352,7 @@ def embedding_dups(
 
     from ..functions.groupagg import pair_distinct
 
-    sk = embeds.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+    sk = embeds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
     pairs = pair_distinct(
         sk.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
@@ -500,7 +502,7 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
     from ..functions.groupagg import pair_count
 
     co = pair_count(
-        docs.map_batches(postings, batch_format="pyarrow", batch_size=1024)
+        docs.map_batches(postings, batch_format="pyarrow", batch_size=None)
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
