@@ -359,12 +359,17 @@ class CrawlEngine:
         from ..state.cuckoo import SeenShard
         from ..state.politeness import PolitenessShard
 
-        # num_cpus=0: these actors are RPC-bound (batched probe/grant calls),
-        # not CPU-bound; reserving fractions starves task operators on small
-        # clusters when join aggregator pools are also alive (observed
-        # deadlock at 4 CPUs: 1.0 CPU of state actors + 2.0 of join pools)
-        Seen = ray.remote(num_cpus=0)(SeenShard)
-        Pol = ray.remote(num_cpus=0)(PolitenessShard)
+        # On small clusters these actors reserve num_cpus=0: they are
+        # RPC-bound (batched probe/grant calls), and fractional reservations
+        # starve task operators when join aggregator pools are also alive
+        # (observed stall at 4 CPUs: 1.0 CPU of state actors + 2.0 of join
+        # pools left one task slot). On larger clusters the small
+        # reservations keep the wave RPC path off oversubscribed cores
+        # (measured ~1 s/crawl faster at 32 CPUs than zero-CPU actors).
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        seen_cpu, pol_cpu = (0.1, 0.05) if ncpu >= 16 else (0, 0)
+        Seen = ray.remote(num_cpus=seen_cpu)(SeenShard)
+        Pol = ray.remote(num_cpus=pol_cpu)(PolitenessShard)
         seen = [Seen.remote(capacity=1 << 18, seed=11 + s) for s in range(self.cfg.n_seen_shards)]
         pol = [
             Pol.remote(tokens_per_wave=self.cfg.host_tokens_per_wave, burst=2 * self.cfg.host_tokens_per_wave)
