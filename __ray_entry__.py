@@ -376,21 +376,42 @@ def _q_docs_sample_profile(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _q_events_user_approx_distinct(sf_dir: str):
-    """HLL approx-distinct user_id (mergeable-sketch family; rows-only —
-    estimates can't value-hash-match an exact SQL count)."""
-    import ray.data as rd
+def _q_events_sketches(sf_dir: str):
+    """The mergeable-sketch suite over events in one query (rows-only —
+    estimates can't value-hash-match exact SQL): HLL approx-distinct users,
+    Count-Min top-3 event types, KLL p50/p90/p99 of value. Each row reports
+    (sketch, metric, approx, exact, rel_err_pct) so the driver run itself
+    witnesses the error bounds."""
+    from rayfrontier.functions.blocks import read_parquet_bare
+    from rayfrontier.functions.sketches import approx_distinct, approx_quantiles, heavy_hitters
 
-    from rayfrontier.functions.sketches import approx_distinct
+    users = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(users, "user_id")
+    exact = len(users.unique("user_id"))
+    rows = [("hll", "distinct_users", float(round(est)), float(exact))]
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    est = approx_distinct(ds, "user_id")
-    exact = len(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).unique("user_id"))
+    types = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["event_type"])
+    exact_counts = types.to_pandas()["event_type"].value_counts()
+    for val, approx_n in heavy_hitters(types, "event_type", k=3):
+        rows.append(("cms", f"top_type:{val}", float(approx_n), float(exact_counts[val])))
+
+    values = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["value"])
+    import numpy as np_
+
+    vals = values.to_pandas()["value"].to_numpy()
+    for q, a in zip((0.5, 0.9, 0.99), approx_quantiles(values, "value", [0.5, 0.9, 0.99])):
+        rows.append(("kll", f"p{int(q * 100)}_value", float(a), float(np_.quantile(vals, q))))
+
     return pa.table(
         {
-            "approx_users": pa.array([int(round(est))], pa.int64()),
-            "exact_users": pa.array([exact], pa.int64()),
-            "rel_err_pct": pa.array([round(abs(est - exact) / max(exact, 1) * 100, 3)], pa.float64()),
+            "sketch": pa.array([r[0] for r in rows], pa.string()),
+            "metric": pa.array([r[1] for r in rows], pa.string()),
+            "approx": pa.array([r[2] for r in rows], pa.float64()),
+            "exact": pa.array([r[3] for r in rows], pa.float64()),
+            "rel_err_pct": pa.array(
+                [round(abs(r[2] - r[3]) / max(abs(r[3]), 1e-9) * 100, 3) for r in rows],
+                pa.float64(),
+            ),
         }
     )
 
@@ -631,7 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_histograms": _q_rule_histograms,
         # rows-only (no faithful ANSI-SQL equivalent)
         "docs_dedup_components": _q_docs_dedup_components,
-        "events_user_approx_distinct": _q_events_user_approx_distinct,
+        "events_sketches": _q_events_sketches,
         "docs_ngram_pairs": _q_docs_ngram_pairs,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,

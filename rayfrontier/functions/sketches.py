@@ -1,14 +1,17 @@
-"""Mergeable cardinality sketch (HyperLogLog) for distributed approx-distinct.
+"""Mergeable sketches for distributed approximate aggregation.
 
 The reference has no sketches (SURVEY.md §2.6); a 100 TB training-data
-pipeline needs approx-distinct for URL/user/token cardinalities where exact
-`unique()` would shuffle every value. Pattern per ray_guide "Aggregation at
-scale": one sketch per batch inside map_batches (vectorized), merge the tiny
-registers in a second stage — the shuffle carries 2^p bytes per batch, not
-the values.
+pipeline needs them wherever the exact answer would shuffle every value:
 
-Standard HLL (Flajolet et al. 2007) with the usual small-range correction;
-p=12 → 4096 registers, ~1.6% relative error.
+* HyperLogLog (Flajolet et al. 2007)   — approx-distinct; p=12 → 4096
+  registers, ~1.6% relative error, small-range linear counting.
+* Count-Min (Cormode & Muthukrishnan 2005) + per-batch candidates —
+  approximate top-k heavy hitters.
+* KLL (Karnin-Lang-Liberty 2016, simplified) — approximate quantiles.
+
+Pattern per ray_guide "Aggregation at scale": one sketch per batch inside
+map_batches (vectorized), merge the tiny summaries in a second stage — the
+shuffle carries kilobytes per batch, never the value stream.
 """
 
 from __future__ import annotations
@@ -82,3 +85,166 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for row in parts:
         reg = hll_merge(reg, np.frombuffer(row["reg"], dtype=np.uint8).copy())
     return hll_count(reg)
+
+
+# ------------------------------------------------------------- count-min sketch
+
+def cms_create(d: int = 4, w: int = 4096) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d salted rows of w
+    counters; mergeable by elementwise sum; estimate = min over rows."""
+    return np.zeros((d, w), dtype=np.int64)
+
+
+def cms_add_hashes(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    d, w = cms.shape
+    h = hashes.astype(np.uint64)
+    for row in range(d):
+        idx = (splitmix64(h ^ np.uint64(0xC0FFEE + row)) % np.uint64(w)).astype(np.int64)
+        np.add.at(cms[row], idx, 1)
+    return cms
+
+
+def cms_estimate(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    d, w = cms.shape
+    h = hashes.astype(np.uint64)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for row in range(d):
+        idx = (splitmix64(h ^ np.uint64(0xC0FFEE + row)) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cms[row][idx])
+    return est
+
+
+def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 4096):
+    """Distributed approximate top-k over a string/int column.
+
+    Each batch emits its Count-Min registers plus its local top-2k candidate
+    values (exact within the batch); the driver sums the registers, unions
+    the candidate sets, and ranks candidates by the merged CMS estimate —
+    the shuffle carries d×w counters + a few candidate strings per batch,
+    never the value stream. Returns a list of (value, approx_count),
+    descending. A global heavy hitter is a local candidate in at least one
+    batch, so the union-of-candidates recall argument is the standard one.
+    """
+    import pyarrow as pa
+
+    from .hashing import hash_texts_u64
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals = [str(x) for x in t[col].to_pylist()]
+        hashes = hash_texts_u64(vals)
+        cms = cms_create(d, w)
+        cms_add_hashes(cms, hashes)
+        import collections
+
+        cand = [v for v, _n in collections.Counter(vals).most_common(2 * k)]
+        return pa.table(
+            {
+                "cms": pa.array([cms.tobytes()], pa.binary()),
+                "cand": pa.array([cand], pa.list_(pa.string())),
+            }
+        )
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536).take_all()
+    cms = cms_create(d, w)
+    cands: set[str] = set()
+    for row in parts:
+        cms += np.frombuffer(row["cms"], dtype=np.int64).reshape(d, w)
+        cands.update(row["cand"])
+    cand_list = sorted(cands)
+    est = cms_estimate(cms, hash_texts_u64(cand_list))
+    order = np.argsort(-est, kind="stable")[:k]
+    return [(cand_list[i], int(est[i])) for i in order]
+
+
+# ----------------------------------------------------------- KLL quantile sketch
+
+class KLLSketch:
+    """Mergeable quantile sketch (Karnin-Lang-Liberty 2016, simplified).
+
+    Levels of buffers; level i items carry weight 2^i. A full level sorts
+    and keeps alternating items (deterministic offset toggles per compaction
+    — unbiased in expectation over positions, deterministic for tests),
+    promoting survivors one level up. Merge = concatenate levels + compact.
+    Rank error ~ O(1/capacity) per level; capacity 256 ≈ <1% rank error on
+    1e5 values (test-pinned at <2%).
+    """
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self.levels: list[list[float]] = [[]]
+        self._toggle = 0
+
+    def add_many(self, values) -> "KLLSketch":
+        self.levels[0].extend(float(v) for v in values)
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.capacity:
+                buf = sorted(self.levels[i])
+                keep = buf[self._toggle :: 2]
+                self._toggle ^= 1
+                self.levels[i] = []
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[i + 1].extend(keep)
+            i += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append([])
+            self.levels[i].extend(buf)
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        items: list[tuple[float, int]] = []
+        for i, buf in enumerate(self.levels):
+            wt = 1 << i
+            items.extend((v, wt) for v in buf)
+        if not items:
+            return float("nan")
+        items.sort()
+        total = sum(w for _v, w in items)
+        target = q * total
+        acc = 0
+        for v, w in items:
+            acc += w
+            if acc >= target:
+                return v
+        return items[-1][0]
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.capacity, self.levels, self._toggle))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLLSketch":
+        import pickle
+
+        capacity, levels, toggle = pickle.loads(blob)
+        s = cls(capacity)
+        s.levels = levels
+        s._toggle = toggle
+        return s
+
+
+def approx_quantiles(ds, col: str, qs: list[float], capacity: int = 256) -> list[float]:
+    """Distributed approximate quantiles: one KLL sketch per batch, merged on
+    the driver — the shuffle carries O(capacity·log n) floats per batch."""
+    import pyarrow as pa
+
+    def sketch(t: pa.Table) -> pa.Table:
+        s = KLLSketch(capacity)
+        s.add_many(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"kll": pa.array([s.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536).take_all()
+    merged = KLLSketch(capacity)
+    for row in parts:
+        merged.merge(KLLSketch.from_bytes(row["kll"]))
+    return [merged.quantile(q) for q in qs]

@@ -97,3 +97,47 @@ def test_dedup_components_distributed_matches_driver(ray_session):
     )
     assert driver["doc_id"].tolist() == dist["doc_id"].tolist()
     assert driver["component_id"].tolist() == dist["component_id"].tolist()
+
+
+def test_sketch_suite_error_bounds(ray_session):
+    """Distributed HLL / Count-Min / KLL against exact answers on a skewed
+    synthetic stream: HLL within 5%, CMS estimates in [exact, exact + eN/w],
+    KLL quantiles within 2% rank error."""
+    import collections
+
+    import ray.data as rd
+
+    from rayfrontier.functions.sketches import approx_distinct, approx_quantiles, heavy_hitters
+
+    rng = np.random.default_rng(13)
+    n = 100_000
+    users = rng.integers(0, 8000, size=n)
+    # zipf-ish skewed labels so top-k is meaningful
+    labels = [f"w{int(z)}" for z in np.minimum(rng.zipf(1.5, size=n), 50)]
+    values = rng.normal(100.0, 15.0, size=n)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "label": pa.array(labels, pa.string()),
+                "value": pa.array(values, pa.float64()),
+            }
+        )
+    ).repartition(16)
+
+    exact_users = len(set(users.tolist()))
+    est = approx_distinct(ds, "user_id")
+    assert abs(est - exact_users) / exact_users < 0.05
+
+    exact_counts = collections.Counter(labels)
+    hh = heavy_hitters(ds, "label", k=5)
+    eps_bound = int(np.e * n / 4096) + 1
+    for val, approx_n in hh:
+        assert exact_counts[val] <= approx_n <= exact_counts[val] + eps_bound, (val, approx_n)
+    # the true #1 item must be reported first (its margin dwarfs the CMS error)
+    assert hh[0][0] == exact_counts.most_common(1)[0][0]
+
+    ranks = np.sort(values)
+    for q, a in zip((0.5, 0.9, 0.99), approx_quantiles(ds, "value", [0.5, 0.9, 0.99])):
+        true_rank = np.searchsorted(ranks, a) / n
+        assert abs(true_rank - q) < 0.02, (q, a, true_rank)
