@@ -337,6 +337,11 @@ class CrawlEngine:
         self._range_flows: list[dict] | None = None
         # state not yet shipped to the replay range actors (delta streams)
         self._delta_buf: dict[str, dict] = {"link": {}, "policy": {}, "art": {}}
+        # state not yet persisted to the checkpoint (per-wave delta commits)
+        self._ckpt_link_delta: dict[str, int] = {}
+        self._ckpt_policy_delta: dict[int, str] = {}
+        self._ckpt_rows_mark = 0
+        self._ckpt_prefix_mark = 0
 
     # -- pure URL→image resolution ------------------------------------------
     def resolve(self, url: str) -> int | None:
@@ -396,6 +401,9 @@ class CrawlEngine:
                 # feed the delta stream BEFORE commit clears the overlays
                 self._delta_buf["link"].update(link_ov.local)
                 self._delta_buf["policy"].update(policy_ov.local)
+            if self.ckpt:
+                self._ckpt_link_delta.update(link_ov.local)
+                self._ckpt_policy_delta.update(policy_ov.local)
             link_ov.commit()
             policy_ov.commit()
             for url, sim, ok, valid, dup in rep.rows:
@@ -677,16 +685,26 @@ class CrawlEngine:
                     }
                 ),
             )
+        # per-wave DELTA, not the full state: pickling the whole
+        # link/policy/rows state every wave is O(total) per wave — O(n²)
+        # checkpoint bytes over a crawl. Resume folds the deltas in order.
+        committed_domains = self.domains[self._ckpt_prefix_mark : self.prefix]
         state = {
             "prefix": self.prefix,
-            "link_dict": self.link_dict,
-            "policy_dict": self.policy_dict,
-            "crawl_rows": self.crawl_rows,
-            "domain_status": self.domain_status,
-            "domain_sim_avg": self.domain_sim_avg,
             "seq": self.seq,
+            "link_delta": self._ckpt_link_delta,
+            "policy_delta": self._ckpt_policy_delta,
+            "rows_delta": self.crawl_rows[self._ckpt_rows_mark :],
+            "domain_delta": {
+                d: (self.domain_status.get(d, ""), self.domain_sim_avg.get(d, 0.0))
+                for d in committed_domains
+            },
         }
-        self.ckpt.write_blob(tmp, "replay_state.pkl", pickle.dumps(state))
+        self.ckpt.write_blob(tmp, "state_delta.pkl", pickle.dumps(state))
+        self._ckpt_link_delta = {}
+        self._ckpt_policy_delta = {}
+        self._ckpt_rows_mark = len(self.crawl_rows)
+        self._ckpt_prefix_mark = self.prefix
         if self._actors:
             dumps = ray.get([a.dump.remote() for a in self._actors["seen"]])
             for s, blob in enumerate(dumps):
@@ -714,14 +732,18 @@ class CrawlEngine:
         if not waves:
             return 0
         last = max(waves)
-        state = pickle.loads(self.ckpt.read_blob(last, "replay_state.pkl"))
-        self.prefix = state["prefix"]
-        self.link_dict = state["link_dict"]
-        self.policy_dict = state["policy_dict"]
-        self.crawl_rows = state["crawl_rows"]
-        self.domain_status = state["domain_status"]
-        self.domain_sim_avg = state["domain_sim_avg"]
-        self.seq = state["seq"]
+        for w in sorted(waves):
+            state = pickle.loads(self.ckpt.read_blob(w, "state_delta.pkl"))
+            self.link_dict.update(state["link_delta"])
+            self.policy_dict.update(state["policy_delta"])
+            self.crawl_rows.extend(tuple(r) for r in state["rows_delta"])
+            for d, (status, sim) in state["domain_delta"].items():
+                self.domain_status[d] = status
+                self.domain_sim_avg[d] = sim
+            self.prefix = state["prefix"]
+            self.seq = state["seq"]
+        self._ckpt_rows_mark = len(self.crawl_rows)
+        self._ckpt_prefix_mark = self.prefix
         for w in sorted(waves):
             try:
                 t = self.ckpt.read_table(w, "artifacts")
