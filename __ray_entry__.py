@@ -57,11 +57,11 @@ def _crawl_engine():
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from rayfrontier.functions.blocks import read_parquet_bare
 
     # documents is one parquet file; without override_num_blocks the fused
     # read→map runs as a handful of tasks and leaves most cores idle
-    return rd.read_parquet(
+    return read_parquet_bare(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], override_num_blocks=32
     )
 

