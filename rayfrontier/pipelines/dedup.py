@@ -36,6 +36,7 @@ from ..functions.hashing import (
 
 NUM_PERM = 64
 BANDS = 16
+_BROADCAST_PAIR_MAX = 10_000  # candidate pairs below this: broadcast-verify
 
 
 def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
@@ -96,7 +97,8 @@ class SketchStage:
         )
 
 
-def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
+def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3,
+                      verify_broadcast_max: int = _BROADCAST_PAIR_MAX):
     """MinHash+LSH candidate pairs verified by exact Jaccard.
 
     Stages: sketch (map_batches) → groupby(band, band_hash) → emit candidate
@@ -148,17 +150,67 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3):
     from ..functions.groupagg import pair_distinct
 
     distinct = pair_distinct(pairs)
-    return _verify_pairs_jaccard(distinct, docs, k, jaccard_threshold)
+    return _verify_pairs_jaccard(distinct, docs, k, jaccard_threshold,
+                                 broadcast_max=verify_broadcast_max)
 
 
-def _verify_pairs_jaccard(pairs, docs, k: int, threshold: float):
-    """Exact-Jaccard verification of candidate (a, b) pairs as a KEYED LOOKUP:
-    texts ride two hash-partitioned joins (on a, then on b), so the shuffle
-    carries only the candidate rows' texts — never a full-corpus id→text
-    broadcast to every worker (which is O(corpus × workers) memory at 100 TB).
-    Per-worker shingle memo amortizes re-shingling of ids that appear in many
-    pairs within a partition."""
+def _verify_pairs_jaccard(pairs, docs, k: int, threshold: float,
+                          broadcast_max: int = _BROADCAST_PAIR_MAX):
+    """Exact-Jaccard verification of candidate (a, b) pairs.
+
+    Size-adaptive strategy (the classic broadcast-vs-shuffle join choice):
+    the candidate set is materialized (distributed, O(pairs) in plasma) and
+    counted. Small sets (≤ _BROADCAST_PAIR_MAX) gather ONLY the candidate
+    ids' texts and broadcast that bounded dict — one `ray.put` of ≤2·max
+    texts, not the corpus. Larger sets ride two hash-partitioned joins
+    (on a, then on b), so the shuffle carries only candidate rows' texts —
+    never a full-corpus broadcast (O(corpus × workers) memory at 100 TB).
+    Per-worker shingle memo amortizes re-shingling of repeated ids."""
     import pyarrow.compute as pc
+    import ray
+
+    pairs = pairs.materialize()
+    if pairs.count() <= broadcast_max:
+        cand = pairs.to_pandas()
+        ids = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])) if len(cand) else np.array([], dtype=np.int64)
+        ids_ref = ray.put(ids.astype(np.int64))
+
+        def pick(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            keys = t["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(want, keys)
+            idx_c = np.clip(idx, 0, max(len(want) - 1, 0))
+            hit = (idx < len(want)) & (want[idx_c] == keys) if len(want) else np.zeros(len(keys), bool)
+            return t.filter(pa.array(hit))
+
+        picked = docs.select_columns(["doc_id", "text"]).map_batches(
+            pick, batch_format="pyarrow"
+        ).to_pandas()
+        texts_ref = ray.put(dict(zip(picked["doc_id"], picked["text"])))
+
+        def verify_small(t: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            sh_cache: dict[int, np.ndarray] = {}
+
+            def sh(i: int) -> np.ndarray:
+                got = sh_cache.get(i)
+                if got is None:
+                    got = sh_cache[i] = shingle_hashes(texts[i], k)
+                return got
+
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            jac = [jaccard(sh(x), sh(y)) for x, y in zip(a, b)]
+            out = pa.table(
+                {
+                    "a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(threshold)))
+
+        return pairs.map_batches(verify_small, batch_format="pyarrow", batch_size=4096)
 
     from ..functions.joins import hash_join
 
@@ -168,12 +220,9 @@ def _verify_pairs_jaccard(pairs, docs, k: int, threshold: float):
         return pa.table({"a": t["a"], "b": t["b"], "text_a": t["text"]})
 
     # nparts deliberately small: BOTH joins' aggregator pools are alive at
-    # once (join2 streams join1's output) at 0.5 CPU per aggregator; sizing
-    # each pool to ~1/8 of the cluster leaves CPUs for the task operators
-    # (at 32 partitions each the pools would reserve the whole 32-CPU
-    # cluster and deadlock)
-    import ray
-
+    # once (join2 streams join1's output); sizing each pool to ~1/4 of the
+    # cluster leaves CPUs for the task operators (full-width pools reserve
+    # every CPU and deadlock)
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nparts = max(2, ncpu // 4)
     j1 = hash_join(pairs, texts, on="a", right_on="doc_id", nparts=nparts).map_batches(
@@ -288,6 +337,7 @@ def embedding_dups(
     id_col: str = "vec_id",
     n_tables: int = 8,
     n_planes: int = 12,
+    verify_broadcast_max: int = _BROADCAST_PAIR_MAX,
 ):
     """Embedding-cosine near-dup via MULTI-TABLE random-hyperplane LSH with
     exact cosine verification through a keyed-lookup join.
@@ -358,16 +408,64 @@ def embedding_dups(
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pyarrow")
     )
-    return _verify_pairs_cosine(pairs, embeds, cos_threshold, id_col)
+    return _verify_pairs_cosine(pairs, embeds, cos_threshold, id_col,
+                                broadcast_max=verify_broadcast_max)
 
 
-def _verify_pairs_cosine(pairs, embeds, threshold: float, id_col: str = "vec_id"):
-    """Exact-cosine verification of candidate (a, b) pairs: embedding vectors
-    ride two hash-partitioned joins (on a, then b) — only candidate rows'
-    vectors move, never a full-table broadcast. Cosine computed vectorized
-    per batch on the joined rows."""
+def _verify_pairs_cosine(pairs, embeds, threshold: float, id_col: str = "vec_id",
+                         broadcast_max: int = _BROADCAST_PAIR_MAX):
+    """Exact-cosine verification of candidate (a, b) pairs — same
+    size-adaptive strategy as _verify_pairs_jaccard: small candidate sets
+    broadcast only the candidates' vectors; large ones ride two
+    hash-partitioned joins so only candidate rows' vectors move (never a
+    full-table broadcast). Cosine computed vectorized per batch."""
     import pyarrow.compute as pc
     import ray
+
+    pairs = pairs.materialize()
+    if pairs.count() <= broadcast_max:
+        cand = pairs.to_pandas()
+        ids = (
+            np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+            if len(cand)
+            else np.array([], dtype=np.int64)
+        )
+        ids_ref = ray.put(ids.astype(np.int64))
+
+        def pick(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            keys = t[id_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(want, keys)
+            idx_c = np.clip(idx, 0, max(len(want) - 1, 0))
+            hit = (idx < len(want)) & (want[idx_c] == keys) if len(want) else np.zeros(len(keys), bool)
+            return t.filter(pa.array(hit))
+
+        picked = embeds.select_columns([id_col, "embedding"]).map_batches(
+            pick, batch_format="pyarrow"
+        ).to_pandas()
+        vecs_np = {
+            int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(picked[id_col], picked["embedding"])
+        }
+        for i, v in vecs_np.items():
+            vecs_np[i] = v / max(np.linalg.norm(v), 1e-12)
+        vecs_ref = ray.put(vecs_np)
+
+        def verify_small(t: pa.Table) -> pa.Table:
+            vecs = ray.get(vecs_ref)
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            cos = [float(vecs[x] @ vecs[y]) for x, y in zip(a, b)]
+            out = pa.table(
+                {
+                    "a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64()),
+                    "cos": pa.array(cos, pa.float64()),
+                }
+            )
+            return out.filter(pc.greater_equal(out["cos"], pa.scalar(threshold)))
+
+        return pairs.map_batches(verify_small, batch_format="pyarrow", batch_size=8192)
 
     from ..functions.joins import hash_join
 

@@ -105,6 +105,13 @@ def test_minhash_pairs_match_bruteforce(ray_session):
     path = "/root/testdata/sf0.001/documents.parquet"
     docs = rd.read_parquet(path, columns=["doc_id", "text"])
     out = minhash_lsh_pairs(docs, jaccard_threshold=0.5).to_pandas()
+    # the size-adaptive verifier must give the same answer on BOTH paths
+    # (small-set broadcast above; forced keyed-join below)
+    out_join = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, verify_broadcast_max=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"].round(12)))
+    assert key(out_join) == key(out)
 
     t = pq.read_table(path, columns=["doc_id", "text"])
     ids = t["doc_id"].to_pylist()
@@ -261,6 +268,11 @@ def test_embedding_dups_recall(ray_session):
     assert len(truth) >= 20, "fixture must plant enough near-dup pairs"
 
     out = embedding_dups(rd.from_items(rows), cos_threshold=0.9).to_pandas()
+    out_join = embedding_dups(
+        rd.from_items(rows), cos_threshold=0.9, verify_broadcast_max=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["cos"].round(12)))
+    assert key(out_join) == key(out)
     got = {(int(a), int(b)): c for a, b, c in zip(out["a"], out["b"], out["cos"])}
     for p, c in got.items():
         assert p in truth and abs(truth[p] - c) < 1e-9, f"wrong cosine for {p}"
