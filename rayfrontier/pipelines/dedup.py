@@ -535,46 +535,29 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
     of SURVEY.md §4): shingles appearing in > max_df docs are dropped, which
     can only *under*-count intersections of pairs whose overlap is entirely
     stop-shingles; with thresholds ≥ 0.5 such pairs are not near-dups.
-    Shuffles carry only (uint64, int64) rows — never text.
+    Shuffles carry only (uint64, int64) rows — never text; each doc's
+    shingle count rides with its postings so Jaccard scoring needs no size
+    broadcast or join.
     """
-    import ray
 
     def postings(t: pa.Table) -> pa.Table:
-        sh_out, id_out = [], []
-        sizes_id, sizes_n = [], []
+        sh_out, id_out, n_out = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             sh = shingle_hashes(text, k)
-            sizes_id.append(doc_id)
-            sizes_n.append(int(sh.size))
             sh_out.append(sh.astype(np.int64))
             id_out.append(np.full(sh.size, doc_id, dtype=np.int64))
+            n_out.append(np.full(sh.size, sh.size, dtype=np.int64))
+        empty = np.array([], dtype=np.int64)
         return pa.table(
             {
-                "shingle": pa.array(np.concatenate(sh_out) if sh_out else [], pa.int64()),
-                "doc_id": pa.array(np.concatenate(id_out) if id_out else [], pa.int64()),
+                "shingle": pa.array(np.concatenate(sh_out) if sh_out else empty, pa.int64()),
+                "doc_id": pa.array(np.concatenate(id_out) if id_out else empty, pa.int64()),
+                # each doc's shingle count rides WITH its postings (+8 bytes/row)
+                # so candidate pairs surface with both sizes attached — no
+                # second corpus pass, no size broadcast, no join
+                "n": pa.array(np.concatenate(n_out) if n_out else empty, pa.int64()),
             }
         )
-
-    # doc sizes: small (one int per doc) → broadcast
-    sizes_df = (
-        docs.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "n_shingles": pa.array(
-                        [int(shingle_hashes(x, k).size) for x in t["text"].to_pylist()],
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    sizes_df = sizes_df.sort_values("doc_id")
-    # (sorted ids, sizes) numpy pair: zero-copy on every per-batch ray.get
-    size_ids_ref = ray.put(sizes_df["doc_id"].to_numpy(dtype=np.int64))
-    size_vals_ref = ray.put(sizes_df["n_shingles"].to_numpy(dtype=np.int64))
 
     NPART = 64
 
@@ -582,49 +565,68 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
         part = np.bitwise_and(np.abs(t["shingle"].to_numpy(zero_copy_only=False)), NPART - 1)
         return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         a_out: list[np.ndarray] = []
         b_out: list[np.ndarray] = []
+        na_out: list[np.ndarray] = []
+        nb_out: list[np.ndarray] = []
         for _sh, grp in g.groupby("shingle", sort=False):
-            ids = np.sort(grp["doc_id"].unique())
+            d = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = d["doc_id"].to_numpy()
+            ns = d["n"].to_numpy()
             m = ids.size
             if m < 2 or m > max_df:
                 continue
             iu = np.triu_indices(m, 1)
             a_out.append(ids[iu[0]])
             b_out.append(ids[iu[1]])
-        if not a_out:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.DataFrame({"a": np.concatenate(a_out), "b": np.concatenate(b_out)})
+            na_out.append(ns[iu[0]])
+            nb_out.append(ns[iu[1]])
+        empty = np.array([], dtype=np.int64)
+        cat = lambda xs: np.concatenate(xs) if xs else empty  # noqa: E731
+        return pa.table(
+            {
+                "a": pa.array(cat(a_out), pa.int64()),
+                "b": pa.array(cat(b_out), pa.int64()),
+                "na": pa.array(cat(na_out), pa.int64()),
+                "nb": pa.array(cat(nb_out), pa.int64()),
+            }
+        )
 
-    from ..functions.groupagg import pair_count
+    from ..functions.groupagg import coarse_group_aggregate
 
-    co = pair_count(
+    # count co-occurrences per (a, b); the sizes are functionally dependent
+    # on a/b so `first` carries them through the aggregate
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False).agg(
+            common=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        )
+
+    co = coarse_group_aggregate(
         docs.map_batches(postings, batch_format="pyarrow", batch_size=None)
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(partition_pairs, batch_format="pandas")
+        .map_groups(partition_pairs, batch_format="pyarrow"),
+        ["a", "b"],
+        count_pairs,
     )
 
     def score(t: pa.Table) -> pa.Table:
-        ids = ray.get(size_ids_ref)
-        vals = ray.get(size_vals_ref)
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
         common = t["common"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = vals[np.searchsorted(ids, a)].astype(np.float64)
-        nb = vals[np.searchsorted(ids, b)].astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
         union = np.maximum(na + nb - common, 1.0)
         jac = common / union
         out = pa.table(
             {
-                "a": pa.array(a, pa.int64()),
-                "b": pa.array(b, pa.int64()),
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
-        import pyarrow.compute as pc
-
         return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(jaccard_threshold)))
 
     return co.map_batches(score, batch_format="pyarrow")
