@@ -562,7 +562,21 @@ def _q_accepted_pages(sf_dir: str):
 
     ds = _crawl_engine().accepted_pages_dataset()
 
+    _DIGEST_SCHEMA = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("domain", pa.string()),
+            ("url", pa.string()),
+            ("sim", pa.float64()),
+            ("seq", pa.int64()),
+            ("bytes_hash", pa.int64()),
+            ("n_text_chars", pa.int64()),
+        ]
+    )
+
     def digest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # keep the schema on empty blocks (isin filter)
+            return _DIGEST_SCHEMA.empty_table()
         hs = [np.int64(np.uint64(fnv1a64(b))).item() for b in t["bytes"].to_pylist()]
         return pa.table(
             {
