@@ -901,9 +901,18 @@ class CrawlEngine:
             return rd.from_items([])
         meta_ref = ray.put(meta)
         paths = self.store.shard_paths({self.store.shard_of(i) for i in meta})
+        # explicit schema: shards whose row groups match nothing otherwise
+        # yield blocks with an EMPTY schema, tripping the executor's schema
+        # consistency check downstream
+        import pyarrow.parquet as pq
+
+        cols = ["image_id", "bytes", "fmt", "caption"]
+        full = pq.read_schema(paths[0])
+        sch = pa.schema([full.field(c).remove_metadata() for c in cols])
         ds = rd.read_parquet(
             paths,
-            columns=["image_id", "bytes", "fmt", "caption"],
+            columns=cols,
+            schema=sch,
             filter=pads.field("image_id").isin(list(meta)),
         )
 
