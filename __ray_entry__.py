@@ -436,49 +436,27 @@ def _q_docs_ngram_pairs(sf_dir: str):
 
 
 def _q_image_pipeline(sf_dir: str):
-    """The three per-image actor-pool stages (decode-stats / resize /
-    histogram-features) chained over the same payload Dataset and merged on
-    image_id — payloads reduced to digests before the driver compare."""
-    from rayfrontier.functions.hashing import fnv1a64
+    """The per-image analysis operators (decode-stats / resize / histogram
+    features) as ONE fused actor-pool pass — a single decode per image
+    (stages.multimodal.ImageAnalysisStage; decode dominates at 100 TB, so
+    analysis passes that can share it must). Payloads reduced to digests
+    before the driver compare; fused ≡ chained stages is test-pinned."""
     from rayfrontier.functions.rounding import quantize, quantize_cols
-    from rayfrontier.stages.multimodal import decode_stats, image_features, resize_images
+    from rayfrontier.stages.multimodal import image_analysis
 
-    pages = _pages_bytes_ds()
-    stats = quantize_cols(
-        pa.Table.from_pandas(decode_stats(pages).to_pandas(), preserve_index=False),
-        {"mean_px": 4, "std_px": 4},
-    ).to_pandas()
+    out = image_analysis(_pages_bytes_ds(), out_w=12, out_h=10, bins=8)
 
-    def digest(t: pa.Table) -> pa.Table:
-        hs = [np.int64(np.uint64(fnv1a64(b))).item() for b in t["bytes"].to_pylist()]
-        return pa.table(
-            {
-                "image_id": t["image_id"],
-                "resized_w": t["w"],
-                "resized_h": t["h"],
-                "resized_hash": pa.array(hs, pa.int64()),
-            }
-        )
-
-    resized = (
-        resize_images(_pages_bytes_ds(), out_w=12, out_h=10)
-        .map_batches(digest, batch_format="pyarrow")
-        .to_pandas()
-    )
-
-    def flat(t: pa.Table) -> pa.Table:
+    def q(t: pa.Table) -> pa.Table:
         feats = [quantize(np.asarray(f), 6).tolist() for f in t["feature"].to_pylist()]
-        return pa.table(
-            {"image_id": t["image_id"], "feature": pa.array(feats, pa.list_(pa.float64()))}
+        t = t.set_column(
+            t.schema.get_field_index("feature"),
+            "feature",
+            pa.array(feats, pa.list_(pa.float64())),
         )
+        return quantize_cols(t, {"mean_px": 4, "std_px": 4})
 
-    feats = (
-        image_features(_pages_bytes_ds(), bins=8)
-        .map_batches(flat, batch_format="pyarrow")
-        .to_pandas()
-    )
-    out = stats.merge(resized, on="image_id").merge(feats, on="image_id").sort_values("image_id")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    df = out.map_batches(q, batch_format="pyarrow").to_pandas().sort_values("image_id")
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def _q_frame_sample(sf_dir: str):

@@ -147,6 +147,66 @@ class FeatureStage:
         )
 
 
+class ImageAnalysisStage:
+    """Fused decode-once analysis: pixel stats + nearest-neighbor-resized
+    payload digest + histogram features from ONE decode per image.
+
+    The composed alternative to chaining DecodeStatsStage → ResizeStage →
+    FeatureStage, which decodes every payload three times; at 100 TB the
+    decode IS the cost, so analysis passes that can share a decode must."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, bins: int = 8):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.edges = np.linspace(0, 256, bins + 1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64
+
+        means, stds, oks, rhash, feats = [], [], [], [], []
+        for data, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            try:
+                px = decode_image(data, fmt)
+            except NotImplementedError:
+                means.append(0.0)
+                stds.append(0.0)
+                oks.append(False)
+                rhash.append(0)
+                feats.append([])
+                continue
+            pxf = px.astype(np.float64)
+            means.append(float(pxf.mean()))
+            stds.append(float(pxf.std()))
+            oks.append(True)
+            h, w = px.shape[:2]
+            yi = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
+            xi = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
+            small = px[yi[:, None], xi[None, :]]
+            rhash.append(np.int64(np.uint64(fnv1a64(encode_image(small, "ppm")))).item())
+            chans = []
+            for c in range(px.shape[2]):
+                hcount, _ = np.histogram(px[:, :, c], bins=self.edges)
+                chans.append(hcount.astype(np.float64))
+            v = np.concatenate(chans)
+            s = v.sum()
+            feats.append((v / s if s else v).tolist())
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "w": t["w"],
+                "h": t["h"],
+                "fmt": t["fmt"],
+                "mean_px": pa.array(means, pa.float64()),
+                "std_px": pa.array(stds, pa.float64()),
+                "decode_ok": pa.array(oks),
+                "resized_w": pa.array([self.out_w] * t.num_rows, pa.int32()),
+                "resized_h": pa.array([self.out_h] * t.num_rows, pa.int32()),
+                "resized_hash": pa.array(rhash, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
 class FrameSampleStage:
     """Video container → every ``stride``-th frame as its own row (flat-map
     shape: one input row explodes to ceil(n_frames/stride) output rows)."""
@@ -196,6 +256,17 @@ def image_features(pages, bins: int = 8, concurrency=(1, 8)):
     return pages.map_batches(
         FeatureStage,
         fn_constructor_kwargs={"bins": bins},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def image_analysis(pages, out_w: int = 16, out_h: int = 16, bins: int = 8, concurrency=(1, 8)):
+    """Fused stats+resize-digest+features in one decode pass per image."""
+    return pages.map_batches(
+        ImageAnalysisStage,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "bins": bins},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,

@@ -278,3 +278,34 @@ def test_embedding_dups_recall(ray_session):
         assert p in truth and abs(truth[p] - c) < 1e-9, f"wrong cosine for {p}"
     recall = len(set(got) & set(truth)) / len(truth)
     assert recall >= 0.9, f"LSH recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_fused_image_analysis_matches_chained(ray_session):
+    """ImageAnalysisStage (one decode) must reproduce the chained
+    decode-stats / resize / feature stages exactly."""
+    import ray.data as rd
+
+    from rayfrontier.functions.hashing import fnv1a64
+    from rayfrontier.stages.multimodal import (
+        decode_stats,
+        image_analysis,
+        image_features,
+        resize_images,
+    )
+
+    t = _images_table(10)
+    fused = (
+        image_analysis(rd.from_arrow(t), out_w=5, out_h=4, bins=8, concurrency=(1, 2))
+        .to_pandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    stats = decode_stats(rd.from_arrow(t), concurrency=(1, 2)).to_pandas().set_index("image_id")
+    resized = resize_images(rd.from_arrow(t), out_w=5, out_h=4, concurrency=(1, 2)).to_pandas()
+    feats = image_features(rd.from_arrow(t), bins=8, concurrency=(1, 2)).to_pandas().set_index("image_id")
+    rh = {i: np.int64(np.uint64(fnv1a64(b))).item() for i, b in zip(resized["image_id"], resized["bytes"])}
+    for iid in fused.index:
+        assert fused.loc[iid, "mean_px"] == stats.loc[iid, "mean_px"]
+        assert fused.loc[iid, "std_px"] == stats.loc[iid, "std_px"]
+        assert fused.loc[iid, "resized_hash"] == rh[iid]
+        assert list(fused.loc[iid, "feature"]) == list(feats.loc[iid, "feature"])
