@@ -266,8 +266,6 @@ def _verify_pairs_jaccard(pairs, docs, k: int, threshold: float,
 
 def simhash_pairs(docs, max_hamming: int = 3):
     """SimHash near-dup: bucket on each of four 16-bit bands, verify Hamming."""
-    import ray
-
     def sketch(t: pa.Table) -> pa.Table:
         ids, band, key, sh = [], [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
