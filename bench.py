@@ -187,6 +187,52 @@ def main() -> None:
     ray.shutdown()
 
 
+def decode_control(nproc: int) -> None:
+    """Hardware-ceiling control: ``nproc`` worker processes each decoding the
+    same image payloads in a tight loop (the crawl's dominant kernel —
+    memory-bound, unlike a pure-ALU spin). Printed decodes/sec at two proc
+    counts bound how much of the crawl's measured scaling loss is the BOX
+    (shared memory bandwidth / turbo), not the engine. Run via
+    ``bench.py --decode-control N`` under taskset by scaling()."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    from rayfrontier.sources.storage import PagesStore
+
+    dcfg, _ = _bench_cfgs()
+    store = PagesStore(BENCH_CORPUS, dcfg.n_shards)
+    t = pq.read_table(store.shard_paths({0})[0], columns=["bytes", "fmt"])
+    payloads = list(zip(t["bytes"].to_pylist()[:256], t["fmt"].to_pylist()[:256]))
+
+    with mp.Pool(nproc, initializer=_decode_init, initargs=(payloads,)) as pool:
+        t0 = time.time()
+        counts = pool.map(_decode_worker, range(nproc))
+        dt = time.time() - t0
+    print(json.dumps({"nproc": nproc, "decodes_per_sec": round(sum(counts) / dt, 1)}))
+
+
+_DECODE_PAYLOADS: list = []
+
+
+def _decode_init(payloads) -> None:
+    _DECODE_PAYLOADS[:] = payloads
+
+
+def _decode_worker(_i: int) -> int:
+    from rayfrontier.codecs import decode_image
+
+    n = 0
+    t_end = time.time() + 3.0
+    while time.time() < t_end:
+        for data, fmt in _DECODE_PAYLOADS:
+            decode_image(data, fmt)
+            n += 1
+            if time.time() >= t_end:
+                break
+    return n
+
+
 def scaling() -> None:
     # pre-generate + warm cache once, outside the timed runs
     import ray
@@ -217,10 +263,21 @@ def scaling() -> None:
         a, b = run_once(ncpu), run_once(ncpu)
         return a if a["sec"] <= b["sec"] else b
 
+    def control(nproc: int) -> float:
+        cmd = [sys.executable, __file__, "--decode-control", str(nproc)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{nproc - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])["decodes_per_sec"]
+
     result = {}
     for lo, hi in ((8, 32), (4, 16)):
         r_lo, r_hi = run(lo), run(hi)
         eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+        # hardware ceiling: the same decode kernel in plain pinned processes —
+        # (per-proc slowdown at hi)×ideal is the best ANY engine could do here
+        c_lo, c_hi = control(lo), control(hi)
+        ceiling = (c_hi / c_lo) / (hi / lo)
         result[f"{lo}v{hi}"] = {
             "cpus_lo": lo,
             "cpus_hi": hi,
@@ -229,6 +286,8 @@ def scaling() -> None:
             "urls_per_sec_lo": round(r_lo["urls_per_sec"], 2),
             "urls_per_sec_hi": round(r_hi["urls_per_sec"], 2),
             "scaling_efficiency": round(eff, 3),
+            "hardware_ceiling": round(ceiling, 3),
+            "efficiency_vs_ceiling": round(min(eff / ceiling, 1.5), 3),
         }
     primary = result["8v32"]
     primary["scaling_efficiency_4v16"] = result["4v16"]["scaling_efficiency"]
@@ -254,6 +313,8 @@ def crawl_only() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--decode-control" in sys.argv:
+        decode_control(int(sys.argv[sys.argv.index("--decode-control") + 1]))
     elif "--crawl-only" in sys.argv:
         crawl_only()
     else:

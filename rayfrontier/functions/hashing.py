@@ -51,6 +51,23 @@ def hash_texts_u64(texts: list[str] | np.ndarray) -> np.ndarray:
     return np.fromiter((hash_text(t) for t in texts), dtype=np.uint64, count=len(texts))
 
 
+def fnv1a64_fixed_width(strs: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a for equal-length ASCII strings (== hash_text each).
+
+    The crawl probe hashes tens of thousands of fixed-width image ids per
+    wave; the scalar per-byte loop was a measurable serial driver cost."""
+    n = len(strs)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w = len(strs[0])
+    arr = np.frombuffer("".join(strs).encode("ascii"), dtype=np.uint8).reshape(n, w)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w):
+            h = (h ^ arr[:, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def word_shingles(text: str, k: int = 3) -> list[str]:
     """k-word shingles of lowercased whitespace-tokenized text."""
     words = text.lower().split()

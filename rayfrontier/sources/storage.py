@@ -26,6 +26,10 @@ import pyarrow.parquet as pq
 
 from ..functions.hashing import hash_text
 
+# per-worker-process cache of sidecar offset indexes (immutable once built):
+# fetch tasks hit the same shard's index many times per wave
+_SIDECAR_IDX_CACHE: dict = {}
+
 
 class PagesStore:
     """Keyed batch lookup into the sharded pages table."""
@@ -124,9 +128,14 @@ class PagesStore:
         import numpy as np
 
         bin_path, idx_path = self._sidecar_paths(shard)
-        idx = np.load(idx_path)
-        ids, offsets = idx["ids"], idx["offsets"]
-        fmt_is_ppm, phash = idx["fmt_is_ppm"], idx["phash"]
+        cached = _SIDECAR_IDX_CACHE.get(idx_path)
+        if cached is None:
+            idx = np.load(idx_path)
+            cached = (idx["ids"], idx["offsets"], idx["fmt_is_ppm"], idx["phash"])
+            if len(_SIDECAR_IDX_CACHE) > 256:
+                _SIDECAR_IDX_CACHE.clear()
+            _SIDECAR_IDX_CACHE[idx_path] = cached
+        ids, offsets, fmt_is_ppm, phash = cached
         want = np.array([int(x[3:]) for x in image_ids], dtype=np.int64)
         pos = np.searchsorted(ids, want)
         if np.any((pos >= len(ids)) | (ids[np.clip(pos, 0, len(ids) - 1)] != want)):

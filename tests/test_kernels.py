@@ -244,3 +244,13 @@ def test_vectorized_rules_match_scalar():
     for s, vh, vn in zip(sentences, vec_hits, vec_nw):
         assert vh == apply_sentence_rules(s, rules), f"rule mismatch on {s!r}"
         assert int(vn) == len(s.split()), f"word-count mismatch on {s!r}"
+
+
+def test_fixed_width_fnv_matches_scalar():
+    from rayfrontier.functions.hashing import fnv1a64_fixed_width, hash_text
+
+    ids = [f"img{i:08d}" for i in (0, 1, 999, 123456, 99999999)]
+    vec = fnv1a64_fixed_width(ids)
+    for s, h in zip(ids, vec):
+        assert int(h) == hash_text(s)
+    assert fnv1a64_fixed_width([]).size == 0
