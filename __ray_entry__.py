@@ -251,15 +251,53 @@ def _q_docs_simhash_pairs(sf_dir: str):
 
 
 def _q_embed_dups(sf_dir: str):
+    """Embedding near-dup discovery over the sf embeddings PLUS deterministic
+    planted near-duplicates. The synthetic sf tables carry no near-dup pairs
+    at all (measured max pairwise cosine ≈ 0.51 at sf0.01), so a bare run of
+    any sensible threshold returns zero rows and certifies nothing; planting
+    seeded perturbed copies (id + 1e6, cos ≈ 0.97 to their source) makes the
+    driver row witness the full LSH bucket → candidate → exact-verify path.
+    Recall against brute force is pinned separately in pytest."""
     import ray.data as rd
 
     from rayfrontier.pipelines.dedup import embedding_dups
 
     em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = embedding_dups(em, cos_threshold=0.9)
-    return _stable_schema(
-        out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "cos": pa.float64()}
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        sel = ids < 20
+        if not sel.any():
+            return t
+        src_ids, src = ids[sel], vecs[sel]
+        unit = src / np.maximum(np.linalg.norm(src, axis=1, keepdims=True), 1e-12)
+        out_rows = []
+        for i, v in zip(src_ids, unit):
+            g = np.random.Generator(np.random.PCG64(9000 + int(i))).normal(size=v.shape)
+            out_rows.append(v + 0.25 * g / np.linalg.norm(g))
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, src_ids + 1_000_000]), pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(vecs) + [r.tolist() for r in out_rows],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    out = embedding_dups(
+        em.map_batches(plant, batch_format="pyarrow"), cos_threshold=0.9
     )
+    from rayfrontier.functions.rounding import quantize_cols
+
+    t = _stable_schema(
+        out.to_pandas().sort_values(["a", "b"]),
+        {"a": pa.int64(), "b": pa.int64(), "cos": pa.float64()},
+    )
+    return quantize_cols(t, {"cos": 6})
 
 
 def _load_query_vec(sf_dir: str) -> np.ndarray:
@@ -427,12 +465,19 @@ def _q_docs_dedup_components(sf_dir: str):
 
 
 def _q_docs_ngram_pairs(sf_dir: str):
+    """Exact n-gram Jaccard pairs — SQL-checked: the inverted-index pipeline
+    (postings → co-occurrence counts → Jaccard) has a faithful DuckDB
+    equivalent over string_split 3-gram sets, including the max_df=256
+    stop-shingle guard (df filter on the co-occurrence side only, full
+    shingle-set sizes in the denominator)."""
+    from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.dedup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(_docs(sf_dir), jaccard_threshold=0.5)
-    return _stable_schema(
+    t = _stable_schema(
         out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
     )
+    return quantize_cols(t, {"jaccard": 6})
 
 
 def _q_image_pipeline(sf_dir: str):
@@ -629,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_word_count": _q_docs_word_count,
         "docs_quality": _q_docs_quality,
+        "docs_ngram_pairs": _q_docs_ngram_pairs,
         "knn_brute": _q_knn_brute,
         "knn_batch": _q_knn_batch,
         # crawl/parse aggregations (SQL-checked against parquet dumps of the
@@ -645,7 +691,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (no faithful ANSI-SQL equivalent)
         "docs_dedup_components": _q_docs_dedup_components,
         "events_sketches": _q_events_sketches,
-        "docs_ngram_pairs": _q_docs_ngram_pairs,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "embed_dups": _q_embed_dups,
@@ -829,6 +874,35 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '\\S')) * 1.0
                          / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS mean_word_len
             FROM documents
+        """,
+        "docs_ngram_pairs": """
+            -- exact 3-gram Jaccard ≥ 0.5 with the engine's max_df=256
+            -- stop-shingle guard: df-capped shingles feed the co-occurrence
+            -- counts only; denominators use the FULL per-doc shingle-set size
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            allowed AS (
+              SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 256
+            ),
+            co AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+              FROM sh x
+              JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              WHERE x.s IN (SELECT s FROM allowed)
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b,
+                   round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+            FROM co
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
         """,
         "knn_batch": """
             SELECT query_id, vec_id, cos FROM (

@@ -52,6 +52,40 @@ def _part_of(t: pa.Table, keys: list[str], nparts: int) -> np.ndarray:
     return (acc % np.uint64(nparts)).astype(np.int32)
 
 
+def grouped_map(ds, key: str | list[str], fn, num_partitions: int | None = None):
+    """``ds.groupby(key).map_groups(fn)`` over a HASH exchange instead of the
+    default range sort.
+
+    Why not the sort: range boundaries are quantile-sampled from the key
+    values, and over a low-cardinality key (the 64-value coarse partition
+    ids) duplicate boundaries are common → empty ranges → zero-row,
+    zero-SCHEMA blocks out of both the Sort and the map_groups wrapper (Ray's
+    group iterator yields nothing for an empty block), which the streaming
+    executor reports as "RefBundle with a different schema" on every run.
+    Hash partitioning sends each key to exactly one of ``num_partitions``
+    occupied partitions — no empty ranges, stable schemas.
+
+    The strategy flip rides a DETACHED DataContext copy (``_plan._context``)
+    so the caller's lineage — which may share this dataset's plan context and
+    native sort-based joins — is untouched. Aggregator actors get a tiny
+    explicit CPU reservation: their default (cluster CPUs / partitions each)
+    starves task operators on small clusters (the measured 4-CPU deadlock
+    recipe, CLAUDE.md).
+    """
+    import copy as _copy
+
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    P = num_partitions or max(2, ncpu // 4)
+    ctx = _copy.deepcopy(ds.context)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ds._plan._context = ctx
+    return ds.groupby(key, num_partitions=P).map_groups(fn, batch_format="pyarrow")
+
+
 def coarse_group_aggregate(
     ds,
     keys: list[str],
@@ -72,9 +106,7 @@ def coarse_group_aggregate(
         out = agg(t.drop_columns(["_part"]).to_pandas())
         return from_pandas_bare(out)
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
-        run, batch_format="pyarrow"
-    )
+    return grouped_map(ds.map_batches(add_part, batch_format="pyarrow"), "_part", run)
 
 
 def pair_count(ds, nparts: int = 64):

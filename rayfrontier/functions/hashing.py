@@ -60,6 +60,11 @@ def fnv1a64_fixed_width(strs: list[str]) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     w = len(strs[0])
+    if any(len(s) != w for s in strs):
+        # mixed widths (image_id digit counts grow past the zero-pad at
+        # ~1e8+ ids): the reshape below would crash or hash garbage —
+        # fall back to the scalar per-string hash (identical output)
+        return hash_texts_u64(strs)
     arr = np.frombuffer("".join(strs).encode("ascii"), dtype=np.uint8).reshape(n, w)
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):

@@ -94,6 +94,13 @@ def apply_sentence_rules(sentence: str, rule_dict: dict) -> list[str]:
     return hits
 
 
+# RE2 class equal to Python str.isspace() (what str.split() splits on):
+# \t\n\v\f\r, space, the C0 separators \x1c-\x1f, NEL \x85, and Unicode Z*
+_RE2_WS = r"\t-\r \x{1C}-\x{1F}\x{85}\p{Z}"
+_RE2_WORD = f"[^{_RE2_WS}]+"
+_RE2_CAP_WORD = f"[^{_RE2_WS}]*\\p{{Lu}}[^{_RE2_WS}]*"
+
+
 def apply_rules_vectorized(sentences, rule_dict: dict) -> tuple[list[list[str]], "object"]:
     """Vectorized :func:`apply_sentence_rules` over an Arrow string array.
 
@@ -108,13 +115,16 @@ def apply_rules_vectorized(sentences, rule_dict: dict) -> tuple[list[list[str]],
     import pyarrow.compute as pc
 
     n = len(sentences)
-    nw = pc.count_substring_regex(sentences, r"\S+").to_numpy(zero_copy_only=False)
+    # the scalar spec counts words with str.split() = UNICODE whitespace
+    # (NBSP, NEL, Zs/Zl/Zp...); RE2's \s is ASCII-only, so spell out the
+    # class Python isspace() uses: \t-\r, space, FS-US, NEL, and \p{Z}
+    nw = pc.count_substring_regex(sentences, _RE2_WORD).to_numpy(zero_copy_only=False)
     hits: list[list[str]] = [[] for _ in range(n)]
     for name, rule in rule_dict.items():
         if name == "SHORT":
             mask = nw < rule[0]
         elif name == "HEAD_FRAG":
-            caps = pc.count_substring_regex(sentences, r"\S*\p{Lu}\S*").to_numpy(
+            caps = pc.count_substring_regex(sentences, _RE2_CAP_WORD).to_numpy(
                 zero_copy_only=False
             )
             mask = np.zeros(n, dtype=bool)

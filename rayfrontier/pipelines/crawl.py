@@ -712,10 +712,6 @@ class CrawlEngine:
             },
         }
         self.ckpt.write_blob(tmp, "state_delta.pkl", pickle.dumps(state))
-        self._ckpt_link_delta = {}
-        self._ckpt_policy_delta = {}
-        self._ckpt_rows_mark = len(self.crawl_rows)
-        self._ckpt_prefix_mark = self.prefix
         if self._actors:
             dumps = ray.get([a.dump.remote() for a in self._actors["seen"]])
             for s, blob in enumerate(dumps):
@@ -736,6 +732,14 @@ class CrawlEngine:
                 ),
             )
         self.ckpt.commit_wave(wave, stats)
+        # clear the delta buffers only AFTER the wave committed: a failed
+        # seen-shard dump / manifest append above leaves the deltas buffered
+        # for the next attempt instead of silently dropping that window from
+        # every later resume
+        self._ckpt_link_delta = {}
+        self._ckpt_policy_delta = {}
+        self._ckpt_rows_mark = len(self.crawl_rows)
+        self._ckpt_prefix_mark = self.prefix
 
     def resume(self) -> int:
         """Load the latest committed wave; returns the next wave number."""
@@ -744,7 +748,18 @@ class CrawlEngine:
             return 0
         last = max(waves)
         for w in sorted(waves):
-            state = pickle.loads(self.ckpt.read_blob(w, "state_delta.pkl"))
+            try:
+                blob = self.ckpt.read_blob(w, "state_delta.pkl")
+            except FileNotFoundError:
+                legacy = os.path.join(self.ckpt.wave_dir(w), "replay_state.pkl")
+                if os.path.exists(legacy):
+                    raise RuntimeError(
+                        f"checkpoint wave {w} uses the pre-delta format "
+                        "(replay_state.pkl); it cannot be resumed by this "
+                        "version — restart the crawl without resume"
+                    ) from None
+                raise
+            state = pickle.loads(blob)
             self.link_dict.update(state["link_delta"])
             self.policy_dict.update(state["policy_delta"])
             self.crawl_rows.extend(tuple(r) for r in state["rows_delta"])

@@ -140,10 +140,10 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3,
             {"a": pa.array(df["a"], pa.int64()), "b": pa.array(df["b"], pa.int64())}
         )
 
-    pairs = (
-        bands.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(partition_pairs, batch_format="pyarrow")
+    from ..functions.groupagg import grouped_map
+
+    pairs = grouped_map(
+        bands.map_batches(add_part, batch_format="pyarrow"), "part", partition_pairs
     )
     # distinct candidate pairs (a,b can surface from several bands/partitions);
     # pair cardinality scales with data → coarse-partitioned distinct
@@ -318,13 +318,11 @@ def simhash_pairs(docs, max_hamming: int = 3):
             }
         )
 
-    from ..functions.groupagg import pair_min
+    from ..functions.groupagg import grouped_map, pair_min
 
     sk = docs.map_batches(sketch, batch_format="pyarrow", batch_size=None)
-    pairs = (
-        sk.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(partition_pairs, batch_format="pyarrow")
+    pairs = grouped_map(
+        sk.map_batches(add_part, batch_format="pyarrow"), "part", partition_pairs
     )
     return pair_min(pairs, "hamming")
 
@@ -398,13 +396,13 @@ def embedding_dups(
         ).drop_duplicates()
         return pa.table({"a": pa.array(df["a"], pa.int64()), "b": pa.array(df["b"], pa.int64())})
 
-    from ..functions.groupagg import pair_distinct
+    from ..functions.groupagg import grouped_map, pair_distinct
 
     sk = embeds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
     pairs = pair_distinct(
-        sk.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(partition_pairs, batch_format="pyarrow")
+        grouped_map(
+            sk.map_batches(add_part, batch_format="pyarrow"), "part", partition_pairs
+        )
     )
     return _verify_pairs_cosine(pairs, embeds, cos_threshold, id_col,
                                 broadcast_max=verify_broadcast_max)
@@ -592,7 +590,7 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
             }
         )
 
-    from ..functions.groupagg import coarse_group_aggregate
+    from ..functions.groupagg import coarse_group_aggregate, grouped_map
 
     # count co-occurrences per (a, b); the sizes are functionally dependent
     # on a/b so `first` carries them through the aggregate
@@ -602,10 +600,12 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
         )
 
     co = coarse_group_aggregate(
-        docs.map_batches(postings, batch_format="pyarrow", batch_size=None)
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(partition_pairs, batch_format="pyarrow"),
+        grouped_map(
+            docs.map_batches(postings, batch_format="pyarrow", batch_size=None)
+            .map_batches(add_part, batch_format="pyarrow"),
+            "part",
+            partition_pairs,
+        ),
         ["a", "b"],
         count_pairs,
     )
@@ -652,14 +652,21 @@ def dedup_components(pairs, ids, max_rounds: int = 50):
     if len(edf):
         ea = np.searchsorted(verts, edf["a"].to_numpy(dtype=np.int64))
         eb = np.searchsorted(verts, edf["b"].to_numpy(dtype=np.int64))
+        converged = False
         for _ in range(max_rounds):
             m = np.minimum(labels[ea], labels[eb])
             new = labels.copy()
             np.minimum.at(new, ea, m)
             np.minimum.at(new, eb, m)
             if np.array_equal(new, labels):
+                converged = True
                 break
             labels = new
+        if not converged:
+            raise RuntimeError(
+                f"dedup_components: no fixpoint after max_rounds={max_rounds} "
+                "(graph diameter exceeds the round budget; labels would be wrong)"
+            )
     return pa.table(
         {
             "doc_id": pa.array(verts, pa.int64()),
@@ -706,9 +713,11 @@ def dedup_components_distributed(pairs, ids, max_rounds: int = 50):
     def min_label(df):
         return df.groupby("doc_id", as_index=False)["label"].min()
 
+    converged = False
     for _ in range(max_rounds):
         cur_sum = int(labels.sum("label"))
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
 
@@ -737,6 +746,13 @@ def dedup_components_distributed(pairs, ids, max_rounds: int = 50):
         labels = coarse_group_aggregate(
             labels.union(proposals), ["doc_id"], min_label
         ).materialize()
+    if not converged:
+        # min-propagation is monotone: an unconverged exit means the labels
+        # are still moving — surfacing them silently would be wrong output
+        raise RuntimeError(
+            f"dedup_components_distributed: no fixpoint after "
+            f"max_rounds={max_rounds} (label sum still decreasing)"
+        )
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "component_id": t["label"]}),
         batch_format="pyarrow",

@@ -255,6 +255,70 @@ def sequential_text(elements):
     )
 
 
+def paragraph_sample(elements, n_docs: int = 50, seed: int = 7) -> pa.Table:
+    """Seeded analog of the reference's TextSampler: one random paragraph
+    from each of ``n_docs`` random documents, with its word count (human-QA
+    sample + words-per-paragraph histogram input,
+    ``src/statistics/paragraph_sampler.py:50-78``).
+
+    Deterministic replacement for its ``random.sample``/``random.choice``:
+    document choice = the n_docs smallest splitmix64(hash(doc_id) ^ seed);
+    the paragraph within a doc = hash-picked index. Distributed shape: per
+    coarse partition, pick each doc's paragraph and keep a PARTIAL top-n_docs
+    by rank key; the driver merges ≤ n_docs × nparts candidate rows — never
+    the paragraphs table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groupagg import coarse_group_aggregate
+    from ..functions.hashing import hash_text, splitmix64
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["tag"] == "p"]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=str),
+                    "rank_key": pd.Series([], dtype=np.uint64),
+                    "text": pd.Series([], dtype=str),
+                    "n_words": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["doc_id", "seq_idx"]).reset_index(drop=True)
+        grp = df.groupby("doc_id", sort=False)
+        pos = grp.cumcount().to_numpy()
+        size = grp["doc_id"].transform("size").to_numpy().astype(np.uint64)
+        dh = np.fromiter(
+            (hash_text(str(d)) for d in df["doc_id"]), dtype=np.uint64, count=len(df)
+        )
+        with np.errstate(over="ignore"):
+            pick_idx = splitmix64(dh ^ np.uint64(2 * seed + 1)) % size
+            rank = splitmix64(dh ^ np.uint64(seed))
+        take = pos == pick_idx.astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[take],
+                "rank_key": rank[take],
+                "text": df["text"].to_numpy()[take],
+            }
+        )
+        out["n_words"] = out["text"].str.split().str.len().astype(np.int64)
+        return out.nsmallest(min(n_docs, len(out)), "rank_key")
+
+    cand = coarse_group_aggregate(
+        elements.select_columns(["doc_id", "seq_idx", "tag", "text"]), ["doc_id"], pick
+    ).to_pandas()
+    final = cand.nsmallest(min(n_docs, len(cand)), "rank_key").sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(final["doc_id"], pa.string()),
+            "text": pa.array(final["text"], pa.string()),
+            "n_words": pa.array(final["n_words"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 RULE_HIST_BINS = list(range(0, 401, 10))  # reference's fixed bins (sentences.py:180)
 
 

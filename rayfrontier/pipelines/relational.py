@@ -174,7 +174,13 @@ def q_top_lineitems_per_flag(sf_dir: str, k: int = 3):
 
         return from_pandas_bare(g.head(k))
 
-    out = ds.groupby("l_returnflag").map_groups(topk, batch_format="pyarrow")
+    from rayfrontier.functions.groupagg import grouped_map
+
+    # 3-value group key: quantile-sampled sort boundaries duplicate → empty
+    # ranges → empty-schema blocks (executor warns every run). One hash
+    # partition holds all three groups; the funnel is inherent to a 3-group
+    # aggregate at any scale.
+    out = grouped_map(ds, "l_returnflag", topk, num_partitions=1)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -280,7 +286,9 @@ def q_lineitem_quantiles(sf_dir: str):
             }
         )
 
-    out = ds.groupby("l_returnflag").map_groups(quants, batch_format="pyarrow")
+    from rayfrontier.functions.groupagg import grouped_map
+
+    out = grouped_map(ds, "l_returnflag", quants, num_partitions=1)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 

@@ -73,9 +73,11 @@ def summary_report(domains: pa.Table, crawl_log: pa.Table) -> str:
     by_domain: dict[str, list] = {}
     for row in crawl_log.to_pylist():
         by_domain.setdefault(row["domain"], []).append(row)
+    status_of = dict(
+        zip(domains["domain"].to_pylist(), domains["status"].to_pylist())
+    )  # one pass, not a table filter per domain
     for d in domains["domain"].to_pylist():
-        status = domains.filter(pc.equal(domains["domain"], d))["status"][0].as_py()
-        lines.append(f"{d} [{status}]")
+        lines.append(f"{d} [{status_of[d]}]")
         for row in by_domain.get(d, []):
             lines.append(
                 f"  {row['url']} sim={row['sim']:.4f} ok={row['ok']} "

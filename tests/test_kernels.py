@@ -237,6 +237,12 @@ def test_vectorized_rules_match_scalar():
             "This is a perfectly good sentence here.",
             META_MARKER,
             "Ünïcode Wörds Are Capitalized Tóo.",
+            # Unicode whitespace: str.split() treats NBSP / NEL / thin space
+            # as separators but RE2's ASCII \S+ does not — pin the parity
+            "Bad Break Here With NBSP separators only.",
+            "One thin space splits these five words.",
+            "NELseparatedwords here.",
+            "trailing nbsp  ",
         ]
     )
     rules = build_rule_dict()

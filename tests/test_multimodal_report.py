@@ -187,6 +187,41 @@ def test_report_stats_and_summary():
     assert "a.com [successful]" in rep and "u2" in rep and "66.67" in rep
 
 
+def test_paragraph_sample_deterministic(ray_session):
+    """Seeded analog of the reference TextSampler
+    (src/statistics/paragraph_sampler.py:50-78): n random docs, one random
+    paragraph each, word counts — deterministic and a true paragraph pick."""
+    import ray.data as rd
+
+    from rayfrontier.pipelines.parse import paragraph_sample
+
+    rows = []
+    paras: dict[str, list[str]] = {}
+    for d in range(40):
+        doc = f"doc{d:03d}"
+        paras[doc] = []
+        for i in range(1 + d % 5):
+            txt = f"paragraph {i} of {doc} with some words"
+            paras[doc].append(txt)
+            rows.append({"doc_id": doc, "seq_idx": 2 * i, "tag": "p", "text": txt})
+            rows.append({"doc_id": doc, "seq_idx": 2 * i + 1, "tag": "h", "text": "Heading"})
+    ds = rd.from_items(rows)
+    t1 = paragraph_sample(ds, n_docs=10, seed=7)
+    t2 = paragraph_sample(rd.from_items(rows), n_docs=10, seed=7)
+    assert t1.equals(t2), "seeded sample must be deterministic"
+    assert t1.num_rows == 10
+    for r in t1.to_pylist():
+        assert r["text"] in paras[r["doc_id"]], "pick must be a real paragraph of the doc"
+        assert r["n_words"] == len(r["text"].split())
+    # a different seed moves the sample (docs or picks)
+    t3 = paragraph_sample(rd.from_items(rows), n_docs=10, seed=8)
+    assert not t1.equals(t3)
+    # n_docs larger than the corpus: returns every doc once
+    tall = paragraph_sample(rd.from_items(rows), n_docs=100, seed=7)
+    assert tall.num_rows == 40
+    assert len(set(r["doc_id"] for r in tall.to_pylist())) == 40
+
+
 def test_partitioned_sink_resumable(ray_session, tmp_path):
     import ray.data as rd
 
