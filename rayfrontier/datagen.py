@@ -37,7 +37,7 @@ from .codecs import encode_image, phash64
 from .config import DatagenConfig
 from .functions.hashing import splitmix64
 from .functions.minihtml import strip_text
-from .functions.urltools import host_of, path_tail
+from .functions.urltools import host_and_tail, host_of, path_tail
 
 # ---------------------------------------------------------------- RNG plumbing
 
@@ -409,13 +409,17 @@ class SyntheticStore:
 
     def resolve(self, url: str) -> int | None:
         """URL → image index, or None (fetch failure)."""
-        if not url.lower().startswith(("http://", "https://")):
+        # scheme check without the url.lower() allocation (hot replay path)
+        if not (
+            url.startswith(("http://", "https://"))
+            or url[:7].lower() == "http://"
+            or url[:8].lower() == "https://"
+        ):
             return None
-        host = host_of(url)
+        host, tail = host_and_tail(url)
         h = self.hm.host_index_of_domain(host)
         if h is None:
             return None
-        tail = path_tail(url)
         # strip any query glued into the tail by odd URLs
         tail = tail.split("?", 1)[0]
         if tail == "":

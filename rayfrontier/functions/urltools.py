@@ -110,3 +110,37 @@ def path_tail(url: str) -> str:
         return ""
     segs = [s for s in path.split("/") if s]
     return segs[-1] if segs else ""
+
+
+def host_and_tail(url: str) -> tuple[str, str]:
+    """(lowercased host, last non-empty path segment) in ONE parse.
+
+    The crawl replay resolves every URL it touches, every wave — two
+    urlsplit() calls per resolve were a measured ~1.5 s of driver-serial
+    time per bench crawl. The fast path handles the plain
+    ``http(s)://host/segment...`` shape; anything with a port, userinfo,
+    query, fragment, IPv6 bracket, backslash, or whitespace falls back to
+    the urlsplit-based kernels (a parity test pins fast ≡ fallback on the
+    tricky shapes).
+    """
+    if url.startswith("http://"):
+        rest = url[7:]
+    elif url.startswith("https://"):
+        rest = url[8:]
+    else:
+        return host_of(url), path_tail(url)
+    if (
+        "?" in rest or "#" in rest or "@" in rest or "[" in rest
+        or "\\" in rest or " " in rest or "\t" in rest
+        or "\n" in rest or "\r" in rest
+    ):
+        return host_of(url), path_tail(url)
+    slash = rest.find("/")
+    if slash < 0:
+        netloc, path = rest, ""
+    else:
+        netloc, path = rest[:slash], rest[slash:]
+    if ":" in netloc:
+        return host_of(url), path_tail(url)
+    segs = [s for s in path.split("/") if s]
+    return netloc.lower(), (segs[-1] if segs else "")

@@ -119,8 +119,20 @@ class _DomainReplay:
         self.sim_avg = 0.0
         self.any_valid = False
         self.blocked_iid: str | None = None  # first artifact this replay waits on
+        # suspension state (committed pass only): a blocked replay resumes
+        # from the exact link it waited on instead of re-walking the domain —
+        # everything before the block point is a pure function of artifacts
+        # that were already present, so the skipped prefix is provably
+        # identical on re-execution
+        self.domain: str | None = None
+        self.full_url: str | None = None
+        self.links: list[str] | None = None
+        self.i = 0
+        self.depth_count = 0
 
     def _want(self, iid: str, depth: int) -> None:
+        if self.pending is None:  # fetch-time advance: wants are discarded
+            return
         cur = self.pending.get(iid)
         key = (depth, self.rank, len(self.pending))
         if cur is None or key < cur:
@@ -165,8 +177,9 @@ class _DomainReplay:
 
     def run(self, domain: str) -> tuple[bool, str]:
         """Returns (completed, status)."""
-        cfg = self.e.cfg
+        self.domain = domain
         full_url = domain if "http" in domain else "http://" + domain
+        self.full_url = full_url
         a = self._get(full_url, depth=0)
         if a is _PENDING:
             return False, ""
@@ -175,28 +188,51 @@ class _DomainReplay:
         links = self._extract(full_url, a.hrefs)
         if not links:
             return True, "no_link"
-        depth_count = 0
-        i = 0
+        self.links = links
+        self.i = 0
+        self.depth_count = 0
+        return self._walk()
+
+    def resume(self, pending: dict) -> tuple[bool, str]:
+        """Continue a suspended replay from its block point. The new wave's
+        ``pending`` dict replaces the one the wants were (or weren't)
+        registered into — re-hitting any still-unfetched link re-registers
+        them (wants only matter for links at/after the block point)."""
+        self.pending = pending
+        self.blocked_iid = None
+        if self.links is None:  # blocked on the landing fetch itself
+            return self.run(self.domain)
+        return self._walk()
+
+    def _walk(self) -> tuple[bool, str]:
+        cfg = self.e.cfg
+        domain, full_url, links = self.domain, self.full_url, self.links
+        i = self.i
         while i < len(links):
             la = self._get(links[i], depth=1)
             if la is _PENDING:
                 # every current list entry is a certain future fetch — prefetch
                 # all (except robots-disallowed URLs, which _get treats as
-                # FAILED and must never enter the want-set)
-                robots = self.e.robots
-                for l in links[i + 1 :]:
-                    if robots is not None and robots.disallowed(l):
-                        continue
-                    j = self.e.resolve(l)
-                    if j is not None and image_id(j) not in self.e.artifacts:
-                        self._want(image_id(j), 1)
+                # FAILED and must never enter the want-set). Skipped entirely
+                # on fetch-time advances (pending is None): those wants are
+                # discarded, and the O(remaining-links) loop per block event
+                # was the measured cost of advancing per arriving chunk.
+                if self.pending is not None:
+                    robots = self.e.robots
+                    for l in links[i + 1 :]:
+                        if robots is not None and robots.disallowed(l):
+                            continue
+                        j = self.e.resolve(l)
+                        if j is not None and image_id(j) not in self.e.artifacts:
+                            self._want(image_id(j), 1)
+                self.i = i
                 return False, ""
             if la is _FAILED or not la.ok:
                 self._add(links[i], 0.0, False, False, False)
                 i += 1
                 continue
-            if depth_count < cfg.max_crawler_depth:
-                depth_count += 1
+            if self.depth_count < cfg.max_crawler_depth:
+                self.depth_count += 1
                 for l in self._extract(full_url, la.hrefs):
                     if l not in links:
                         links.append(l)
@@ -214,6 +250,7 @@ class _DomainReplay:
                     self.policy_ov.set(la.text_hash, domain)
                     self._add(links[i], sim, True, False, False)
             i += 1
+        self.i = i
         return True, ("successful" if self.any_valid else "no_valid_link")
 
 
@@ -325,6 +362,8 @@ class CrawlEngine:
         self.domain_status: dict[str, str] = {}
         self.domain_sim_avg: dict[str, float] = {}
         self.seq = 0
+        self._blocked_iid: str | None = None  # gate for fetch-time advances
+        self._suspended: "_DomainReplay | None" = None  # blocked prefix replay
         self.fetched_ids: set[str] = set()
         self.metrics_rows: list[dict] = []
         self.invariant_failures = 0
@@ -387,17 +426,45 @@ class CrawlEngine:
         return self._actors
 
     # -- replay ----------------------------------------------------------------
-    def _replay(self) -> dict[str, tuple]:
-        """Advance the committed prefix; return pending {image_id: priority}."""
-        pending: dict[str, tuple] = {}
-        # committed pass
+    def _advance_committed(self, pending: dict[str, tuple] | None) -> None:
+        """Advance the committed prefix as far as the artifact cache allows.
+
+        Called from two places: the top of every wave's ``_replay`` (with the
+        wave's pending dict, so the blocked domain registers its wants), and
+        from ``_fetch``'s streaming-ingest loop (``pending=None``) — the
+        committed pass is a pure function of the artifact cache, so it can run
+        in the driver's otherwise-idle ``ray.wait`` gaps while the cluster
+        decodes, instead of serializing after the wave. ``_blocked_iid`` gates
+        the fetch-time attempts: re-walking the blocked domain is only useful
+        once the artifact it waits on has actually arrived.
+        """
+        if (
+            pending is None
+            and self._blocked_iid is not None
+            and self._blocked_iid not in self.artifacts
+        ):
+            return
+        scratch = pending  # None ⇒ fetch-time advance, wants suppressed
         while self.prefix < len(self.domains):
             domain = self.domains[self.prefix]
-            link_ov, policy_ov = Overlay(self.link_dict), Overlay(self.policy_dict)
-            rep = _DomainReplay(self, link_ov, policy_ov, pending, self.prefix)
-            done, status = rep.run(domain)
+            rep = self._suspended
+            if rep is not None and rep.rank == self.prefix:
+                # resume the suspended replay from its block point instead of
+                # re-walking the domain (full re-walks per arriving fetch
+                # chunk are quadratic in a domain's link count)
+                done, status = rep.resume(scratch)
+            else:
+                rep = _DomainReplay(
+                    self, Overlay(self.link_dict), Overlay(self.policy_dict),
+                    scratch, self.prefix,
+                )
+                done, status = rep.run(domain)
             if not done:
+                self._suspended = rep
+                self._blocked_iid = rep.blocked_iid
                 break
+            self._suspended = None
+            link_ov, policy_ov = rep.link_ov, rep.policy_ov
             if self.cfg.tentative_shards > 1:
                 # feed the delta stream BEFORE commit clears the overlays
                 self._delta_buf["link"].update(link_ov.local)
@@ -413,6 +480,14 @@ class CrawlEngine:
             self.domain_status[domain] = status
             self.domain_sim_avg[domain] = rep.sim_avg
             self.prefix += 1
+        else:
+            self._blocked_iid = None
+            self._suspended = None
+
+    def _replay(self) -> dict[str, tuple]:
+        """Advance the committed prefix; return pending {image_id: priority}."""
+        pending: dict[str, tuple] = {}
+        self._advance_committed(pending)
         # tentative pass: widen prefetch for all remaining domains, with the
         # tentative seen-dict overlay FLOWING across domains in rank order —
         # the closest cheap approximation of the state each domain's committed
@@ -593,12 +668,15 @@ class CrawlEngine:
             sel = np.nonzero(shard_idx == s)[0]
             if not sel.size:
                 continue
-            seen = ray.get(futs[s])
-            for j, k in enumerate(sel):
+            seen = np.asarray(ray.get(futs[s]), dtype=bool)
+            # artifact-dict lookups only for filter HITS (rare on new waves);
+            # unseen ids pass straight through
+            for k in sel[~seen]:
+                to_fetch.append(ids[int(k)])
+            for k in sel[seen]:
                 iid = ids[int(k)]
-                if seen[j] and iid in self.artifacts:
-                    continue  # true positive — already fetched
-                to_fetch.append(iid)  # unseen, or filter false-positive
+                if iid not in self.artifacts:
+                    to_fetch.append(iid)  # cuckoo false positive
         if not to_fetch:
             return 0
 
@@ -633,10 +711,28 @@ class CrawlEngine:
                         payload_src,
                     )
                 )
-        blocks = [b for b in ray.get(futs) if b.num_rows]
-        if not blocks:
-            return 0
-        table = pa.concat_tables(blocks)
+        # STREAMING ingest: ray.wait one task at a time and fold its block in
+        # while the remaining fetch tasks are still running — the driver-side
+        # columnar ingest (to_pylist + dict inserts, GIL-bound) overlaps the
+        # cluster's decode work instead of serializing after an all-at-once
+        # ray.get barrier (measured ~3.4 s/run of serial tail at bench scale)
+        n_new = 0
+        self._wave_delta = []
+        record_ckpt = self.ckpt is not None  # skip delta-row dicts otherwise
+        # NOTE: advancing the committed replay inside this loop (driver work
+        # in the ray.wait gaps) was tried and is net-NEGATIVE: with
+        # num_cpus=N task slots on an N-core box the driver's "idle" wait is
+        # real capacity the decode workers use — burning it on replay slowed
+        # the 8-CPU crawl 20% and even the 32-CPU one ~7%. Measured; don't
+        # re-try without reserving an explicit driver core.
+        while futs:
+            done, futs = ray.wait(futs, num_returns=1)
+            table = ray.get(done[0])
+            if table.num_rows:
+                n_new += self._ingest_block(table, wave, record_ckpt)
+        return n_new
+
+    def _ingest_block(self, table: pa.Table, wave: int, record_ckpt: bool) -> int:
         if "row_ok" in table.column_names:
             self.invariant_failures += int(
                 table.num_rows - np.count_nonzero(table["row_ok"].to_numpy(zero_copy_only=False))
@@ -649,8 +745,6 @@ class CrawlEngine:
         sims = table["sim"].to_numpy(zero_copy_only=False)
         hrefs_col = table["hrefs"].to_pylist()
         n_new = 0
-        self._wave_delta: list[dict] = []
-        record_ckpt = self.ckpt is not None  # skip delta-row dicts otherwise
         for iid, ok, th, th_i64, sim, hrefs in zip(iids, oks, hashes, hashes_i64, sims, hrefs_col):
             if iid in self.artifacts:
                 continue

@@ -252,6 +252,34 @@ def test_vectorized_rules_match_scalar():
         assert int(vn) == len(s.split()), f"word-count mismatch on {s!r}"
 
 
+def test_host_and_tail_matches_urlsplit_kernels():
+    """host_and_tail's fast path must agree with the urlsplit-based kernels
+    on every URL shape the crawl can see (incl. the fallback triggers)."""
+    from rayfrontier.functions.urltools import host_and_tail, host_of, path_tail
+
+    urls = [
+        "http://site0001.com/img00000042",
+        "https://site0001.com",
+        "http://site0001.com/",
+        "http://a.com/x/y/z",
+        "http://a.com//x//",
+        "HTTP://Mixed.Case/Path",
+        "http://UPPER.HOST.com/img00000001",
+        "http://a.com:8080/x",
+        "http://user:pw@a.com/x",
+        "http://a.com/x?q=1",
+        "http://a.com/x#frag",
+        "http://a.com/x y",
+        "mailto:someone@x.com",
+        "javascript:void(0)",
+        "notaurl",
+        "http://a.com\t/x",
+        "",
+    ]
+    for u in urls:
+        assert host_and_tail(u) == (host_of(u), path_tail(u)), repr(u)
+
+
 def test_fixed_width_fnv_matches_scalar():
     from rayfrontier.functions.hashing import fnv1a64_fixed_width, hash_text
 
