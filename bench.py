@@ -72,11 +72,14 @@ def ensure_corpus() -> None:
         inflight.append(build.remote(s))
     ray.get(inflight)
     # warm the page cache so both scaling runs see memory-speed reads
+    # (chunked: whole-file reads of multi-hundred-MB shards would spike the
+    # measuring process's own peak RSS, polluting --rss evidence)
     total = 0
     for root, _dirs, files in os.walk(BENCH_CORPUS):
         for f in files:
             with open(os.path.join(root, f), "rb") as fp:
-                total += len(fp.read())
+                while chunk := fp.read(1 << 24):
+                    total += len(chunk)
 
 
 def _warm_workers() -> None:
@@ -110,11 +113,11 @@ def run_crawl_bench() -> dict:
     eng.run()
     sec = time.time() - t0
     eng.shutdown()
-    n_urls = len(eng.crawl_rows) + len(eng.domains)  # link attempts + landings
+    n_urls = eng.seq + len(eng.domains)  # link attempts + landings
     return {
         "sec": sec,
         "urls": n_urls,
-        "pages_fetched": len(eng.fetched_ids),
+        "pages_fetched": eng.n_fetched,
         "urls_per_sec": n_urls / sec,
     }
 
@@ -297,6 +300,78 @@ def scaling() -> None:
     print(json.dumps(result))
 
 
+def rss_probe(mode: str) -> None:
+    """--rss-probe resident|bounded: one crawl; print driver peak RSS + the
+    engine's residency high-water marks. Run in a fresh subprocess per mode
+    (ru_maxrss is a process-lifetime high-water mark)."""
+    import resource
+
+    import ray
+
+    from dataclasses import replace
+
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ensure_corpus()
+    dcfg, ccfg = _bench_cfgs()
+    if mode == "bounded":
+        ccfg = replace(ccfg, state_cap=int(os.environ.get("GRAFT_STATE_CAP", "50000")))
+    _warm_workers()
+    base_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    t0 = time.time()
+    eng = CrawlEngine(BENCH_CORPUS, dcfg, ccfg, validate_rows=True)
+    eng.run()
+    sec = time.time() - t0
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    out = {
+        "mode": mode,
+        "n_images": N_IMAGES,
+        "sec": round(sec, 2),
+        "urls_per_sec": round((eng.seq + len(eng.domains)) / sec, 1),
+        "pages_fetched": eng.n_fetched,
+        "crawl_rows_total": eng.seq,
+        "driver_peak_rss_mb": round(peak_mb, 1),
+        "driver_rss_before_crawl_mb": round(base_mb, 1),
+        "hwm": eng.hwm,
+    }
+    if mode == "bounded":
+        out["artifacts_spilled"] = len(eng.artifacts.spill)
+        out["artifact_readbacks"] = eng.artifacts.readbacks
+        out["rows_spilled"] = eng._row_spill.n_rows
+    eng.shutdown()
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def rss() -> None:
+    """--rss: driver-residency evidence — the same crawl with resident dicts
+    vs cfg.state_cap bounded state, each in a fresh process; prints both."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ensure_corpus()
+    ray.shutdown()
+    result = {}
+    for mode in ("resident", "bounded"):
+        out = subprocess.run(
+            [sys.executable, __file__, "--rss-probe", mode],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        result[mode] = json.loads(out.strip().splitlines()[-1])
+    r, b = result["resident"], result["bounded"]
+    result["rss_delta_mb"] = round(r["driver_peak_rss_mb"] - b["driver_peak_rss_mb"], 1)
+    result["artifacts_resident_ratio"] = round(
+        b["hwm"]["artifacts_resident"] / max(r["hwm"]["artifacts_resident"], 1), 3
+    )
+    result["rows_resident_ratio"] = round(
+        b["hwm"]["rows_resident"] / max(r["hwm"]["rows_resident"], 1), 3
+    )
+    print(json.dumps(result))
+
+
 def crawl_only() -> None:
     import ray
 
@@ -318,6 +393,10 @@ if __name__ == "__main__":
         scaling()
     elif "--decode-control" in sys.argv:
         decode_control(int(sys.argv[sys.argv.index("--decode-control") + 1]))
+    elif "--rss-probe" in sys.argv:
+        rss_probe(sys.argv[sys.argv.index("--rss-probe") + 1])
+    elif "--rss" in sys.argv:
+        rss()
     elif "--crawl-only" in sys.argv:
         crawl_only()
     else:

@@ -28,6 +28,15 @@ class CrawlConfig:
                                        # replay over contiguous domain ranges as
                                        # Ray tasks (scheduling-only; committed
                                        # outputs identical by construction)
+    state_cap: int | None = None       # bounded-driver-state mode (SURVEY §8):
+                                       # hot-artifact cap before consumed
+                                       # artifacts spill to mmap'd Arrow files,
+                                       # crawl rows stream out per wave, and
+                                       # the pending want-set is capped with
+                                       # parquet frontier overflow. Outputs are
+                                       # identical (parity-tested); only driver
+                                       # residency changes. None = resident
+                                       # dicts (the small-corpus default).
 
 
 @dataclass(frozen=True)

@@ -73,6 +73,42 @@ def fnv1a64_fixed_width(strs: list[str]) -> np.ndarray:
     return h
 
 
+def fnv1a64_var(strs: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over variable-length strings (== hash_text each).
+
+    Groups strings by byte length and runs the fixed-width kernel per group,
+    so total work is O(total bytes) in numpy regardless of the length mix.
+    The crawl driver hashes each wave's new hrefs once with this so replay
+    range actors can hold URL-seen membership as sorted uint64 arrays
+    (8 B/entry) instead of per-actor string dicts (crawl.py §replay actors).
+    """
+    n = len(strs)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    bs = [s.encode("utf-8", "surrogatepass") for s in strs]
+    lens = np.fromiter(map(len, bs), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    sorted_lens = lens[order]
+    bounds = np.searchsorted(sorted_lens, np.unique(sorted_lens), side="left")
+    bounds = np.append(bounds, n)
+    with np.errstate(over="ignore"):
+        for g in range(len(bounds) - 1):
+            a, b = int(bounds[g]), int(bounds[g + 1])
+            sel = order[a:b]
+            w = int(sorted_lens[a])
+            if w == 0:
+                out[sel] = _FNV_OFFSET
+                continue
+            arr = np.frombuffer(b"".join(bs[k] for k in sel), dtype=np.uint8)
+            arr = arr.reshape(b - a, w)
+            h = np.full(b - a, _FNV_OFFSET, dtype=np.uint64)
+            for j in range(w):
+                h = (h ^ arr[:, j].astype(np.uint64)) * _FNV_PRIME
+            out[sel] = h
+    return out
+
+
 def word_shingles(text: str, k: int = 3) -> list[str]:
     """k-word shingles of lowercased whitespace-tokenized text."""
     words = text.lower().split()

@@ -87,8 +87,10 @@ def canonicalize(url: str) -> str:
         netloc = f"{cred}@{netloc}"
     path = _norm_pct(_remove_dot_segments(parts.path)) or "/"
     if parts.query:
-        pairs = sorted(seg for seg in parts.query.split("&") if seg)
-        query = "&".join(_norm_pct(p) for p in pairs)
+        # normalize BEFORE sorting: sorting raw segments and then encoding is
+        # not idempotent (e.g. "{" sorts after "0" raw but "%7B" sorts before)
+        pairs = sorted(_norm_pct(seg) for seg in parts.query.split("&") if seg)
+        query = "&".join(pairs)
     else:
         query = ""
     return urlunsplit((scheme, netloc, path, query, ""))

@@ -1,0 +1,237 @@
+"""Bounded driver-state primitives for the crawl engine (SURVEY.md §7/§8).
+
+The sequential-parity invariant requires serial *control* on the driver, not
+resident *state* (VERDICT r2 §3). Three pieces make the driver's memory
+O(active frontier) instead of O(total crawl):
+
+- ``ArtifactSpill`` — consumed artifacts (per-page hash/sim/hrefs) move out of
+  the hot dict into append-only Arrow IPC files, rows sorted by integer image
+  id. Read-back is a memory-mapped binary search, so residency is governed by
+  the OS page cache; a rare re-reference (cross-host href alias) costs one
+  row materialization, never a re-fetch.
+- ``RowSpill`` — the crawl log streams out per wave (the checkpoint already
+  holds it durably when checkpointing); outputs concatenate the mmap'd spill
+  files with the in-memory tail.
+- ``BoundedPending`` — the per-wave want-set holds at most ~2× its cap:
+  overflow compactions keep the best-priority entries (never dropping wants
+  of domains at/under the committed prefix, which must make progress) and the
+  evicted tail is materialized to the parquet frontier table for the wave.
+
+The reference keeps all of this in multiprocessing Manager dicts
+(src/crawler.py:350-352) — unbounded; see SURVEY.md §4 "Memory pressure".
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.feather as feather
+
+def col_np(table: pa.Table, name: str) -> np.ndarray:
+    """Zero-copy numpy view of a primitive column (single-chunk fast path)."""
+    col = table.column(name)
+    if col.num_chunks == 1:
+        return col.chunk(0).to_numpy(zero_copy_only=True)
+    return col.combine_chunks().to_numpy(zero_copy_only=True)
+
+
+ARTIFACT_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("ok", pa.bool_()),
+        ("text_hash", pa.int64()),  # uint64 stored two's-complement
+        ("sim", pa.float64()),
+        ("hrefs", pa.list_(pa.string())),
+    ]
+)
+
+ROWS_SCHEMA = pa.schema(
+    [
+        ("domain", pa.string()),
+        ("url", pa.string()),
+        ("sim", pa.float64()),
+        ("ok", pa.bool_()),
+        ("valid", pa.bool_()),
+        ("dup", pa.bool_()),
+        ("seq", pa.int64()),
+    ]
+)
+
+
+class ArtifactSpill:
+    """Append-only artifact spill with mmap'd binary-search read-back."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._files: list[tuple[np.ndarray, pa.Table]] = []  # (sorted ids, table)
+        self._all_ids = np.empty(0, dtype=np.int64)  # merged, for __contains__
+        self._n_events = 0
+
+    def __len__(self) -> int:
+        return int(self._all_ids.size)
+
+    def contains_int(self, iid_int: int) -> bool:
+        a = self._all_ids
+        if not a.size:
+            return False
+        p = int(np.searchsorted(a, iid_int))
+        return p < a.size and int(a[p]) == iid_int
+
+    def spill(self, ids_int: np.ndarray, table: pa.Table) -> str:
+        """Write one spill event (rows of ``table`` keyed by ``ids_int``,
+        pre-sorted ascending) and register it for read-back."""
+        if not ids_int.size:
+            return ""
+        path = os.path.join(self.root, f"artifacts_{self._n_events:05d}.arrow")
+        self._n_events += 1
+        feather.write_feather(table, path + ".tmp", compression="uncompressed")
+        os.replace(path + ".tmp", path)
+        mm = feather.read_table(path, memory_map=True)
+        ids_view = col_np(mm, "id")
+        self._files.append((ids_view, mm))
+        # merged id index: newest ids may duplicate older ones (re-spill after
+        # a read-back) — union keeps it sorted/unique
+        self._all_ids = np.union1d(self._all_ids, ids_view)
+        return path
+
+    def get_row(self, iid_int: int):
+        """Return the newest spilled row for id as a dict of python values,
+        or None. Newest-first so re-spilled entries shadow older ones."""
+        for ids, table in reversed(self._files):
+            p = int(np.searchsorted(ids, iid_int))
+            if p < ids.size and int(ids[p]) == iid_int:
+                row = table.slice(p, 1)
+                return {
+                    "ok": row["ok"][0].as_py(),
+                    "text_hash": int(row["text_hash"][0].as_py()) & 0xFFFFFFFFFFFFFFFF,
+                    "sim": row["sim"][0].as_py(),
+                    "hrefs": tuple(row["hrefs"][0].as_py()),
+                }
+        return None
+
+    def tables(self) -> list[pa.Table]:
+        return [t for _ids, t in self._files]
+
+
+class RowSpill:
+    """Per-wave crawl-log spill; outputs concat the mmap'd files + tail."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._paths: list[str] = []
+        self.n_rows = 0
+
+    def append_rows(self, rows: list[tuple]) -> None:
+        if not rows:
+            return
+        table = pa.table(
+            {
+                "domain": pa.array([r[0] for r in rows], pa.string()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "sim": pa.array([r[2] for r in rows], pa.float64()),
+                "ok": pa.array([r[3] for r in rows], pa.bool_()),
+                "valid": pa.array([r[4] for r in rows], pa.bool_()),
+                "dup": pa.array([r[5] for r in rows], pa.bool_()),
+                "seq": pa.array([r[6] for r in rows], pa.int64()),
+            }
+        )
+        path = os.path.join(self.root, f"rows_{len(self._paths):05d}.arrow")
+        feather.write_feather(table, path + ".tmp", compression="uncompressed")
+        os.replace(path + ".tmp", path)
+        self._paths.append(path)
+        self.n_rows += len(rows)
+
+    def tables(self) -> list[pa.Table]:
+        return [feather.read_table(p, memory_map=True) for p in self._paths]
+
+
+class PendingDict(dict):
+    """The default (unbounded) per-wave want-set: exact round-1 semantics —
+    priority key = (depth, domain rank, len(self) at insert time)."""
+
+    __slots__ = ()
+
+    def want(self, iid: str, depth: int, rank: int) -> None:
+        cur = self.get(iid)
+        key = (depth, rank, len(self))
+        if cur is None or key < cur:
+            self[iid] = key
+
+    def merge_key(self, iid: str, key: tuple) -> None:
+        cur = self.get(iid)
+        if cur is None or key < cur:
+            self[iid] = key
+
+    def maybe_compact(self) -> None:
+        pass
+
+
+class BoundedPending(dict):
+    """Want-set capped at ~2×cap entries; only the best ``cap`` priorities can
+    be admitted in a wave, so evicting the tail is scheduling-neutral (the
+    replay regenerates all wants next wave). Entries whose domain rank is at
+    or below ``protect_rank`` (the committed prefix — the crawl's progress
+    guarantee) are never evicted. Discovery tiebreak is a monotonic counter,
+    robust to compaction shrinking len()."""
+
+    def __init__(self, cap: int):
+        super().__init__()
+        self.cap = max(int(cap), 1)
+        self.discovery = 0
+        self.protect_rank = -1
+        self.dropped = 0
+        self.evicted_tail: list[tuple[str, tuple]] = []  # last compaction's tail
+
+    def want(self, iid: str, depth: int, rank: int) -> None:
+        cur = self.get(iid)
+        key = (depth, rank, self.discovery)
+        if cur is None or key < cur:
+            self[iid] = key
+            self.discovery += 1
+            if len(self) > 2 * self.cap:
+                self._compact()
+
+    def merge_key(self, iid: str, key: tuple) -> None:
+        cur = self.get(iid)
+        if cur is None or key < cur:
+            self[iid] = key
+
+    def maybe_compact(self) -> None:
+        if len(self) > 2 * self.cap:
+            self._compact()
+
+    def _compact(self) -> None:
+        items = sorted(self.items(), key=lambda kv: kv[1])
+        protected = [kv for kv in items if kv[1][1] <= self.protect_rank]
+        rest = [kv for kv in items if kv[1][1] > self.protect_rank]
+        keep, tail = rest[: self.cap], rest[self.cap :]
+        self.dropped += len(tail)
+        self.evicted_tail = tail
+        self.clear()
+        self.update(protected)
+        self.update(keep)
+
+
+def write_frontier_table(root: str, wave: int, entries: list[tuple[str, tuple]]) -> str | None:
+    """Materialize the non-admitted frontier for a wave as parquet (the
+    SURVEY §7 host-bucketed frontier table; observability + overflow sink)."""
+    if not entries:
+        return None
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    table = pa.table(
+        {
+            "image_id": pa.array([e[0] for e in entries], pa.string()),
+            "depth": pa.array([e[1][0] for e in entries], pa.int32()),
+            "rank": pa.array([e[1][1] for e in entries], pa.int64()),
+            "discovery": pa.array([e[1][2] for e in entries], pa.int64()),
+        }
+    )
+    path = os.path.join(root, f"frontier_wave{wave:05d}.parquet")
+    pq.write_table(table, path)
+    return path

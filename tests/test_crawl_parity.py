@@ -218,6 +218,118 @@ def test_robots_gating_distributed_replay(ray_session, corpus, small_cfg):
     dist.shutdown()
 
 
+def test_bounded_state_parity_and_spill(ray_session, corpus, small_cfg, tmp_path):
+    """cfg.state_cap bounds driver residency (consumed artifacts spill to
+    mmap'd Arrow, crawl rows stream out per wave, pending is capped) without
+    changing ANY output: the reconstructed crawl log, URL-seen set and domain
+    outcomes stay byte-equal to the oracle, and the spill must actually have
+    engaged (rows out of memory, hot dict under control)."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(state_cap=8, wave_url_cap=16)
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    eng = CrawlEngine(
+        corpus, small_cfg, cfg, spill_dir=str(tmp_path / "spill")
+    ).run()
+
+    # outputs reconstructed through the spill must equal the oracle exactly
+    log = eng.crawl_log_table()
+    got = list(
+        zip(
+            log["domain"].to_pylist(), log["url"].to_pylist(), log["sim"].to_pylist(),
+            log["ok"].to_pylist(), log["valid"].to_pylist(), log["dup"].to_pylist(),
+            log["seq"].to_pylist(),
+        )
+    )
+    assert got == [tuple(r) for r in oracle.crawl_log]
+    assert eng.link_dict == oracle.url_seen
+    assert eng.domain_status == oracle.domain_status
+
+    # the bounded machinery actually engaged
+    assert eng._row_spill.n_rows == len(oracle.crawl_log)
+    assert eng.crawl_rows == []  # driver holds no resident log tail at the end
+    assert len(eng.artifacts.spill) > 0, "no artifacts were ever spilled"
+    assert len(eng.artifacts.hot) <= eng.n_fetched
+    assert eng.fetched_ids is None and eng.n_fetched > 0
+    eng.shutdown()
+
+
+def test_bounded_state_checkpoint_resume(ray_session, corpus, small_cfg, tmp_path):
+    """Bounded mode + checkpointing: kill after 2 waves, resume in a fresh
+    engine (artifacts re-registered in the spill INDEX, not materialized),
+    zero re-fetches, byte-identical final log."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(state_cap=8, wave_url_cap=20)
+    ck = str(tmp_path / "ckpt")
+    e1 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e1.run(max_waves=2)
+    n1 = e1.n_fetched
+    assert n1 > 0
+    e1.shutdown()
+
+    e2 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e2.run(resume=True)
+    # resumed artifacts live in the spill index, and nothing is re-fetched
+    assert len(e2.artifacts.spill) >= n1
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    log = e2.crawl_log_table()
+    assert log.num_rows == len(oracle.crawl_log)
+    got = list(zip(log["domain"].to_pylist(), log["url"].to_pylist(), log["seq"].to_pylist()))
+    assert got == [(r[0], r[1], r[6]) for r in oracle.crawl_log]
+    assert e2.link_dict == oracle.url_seen
+    e2.shutdown()
+
+
+def test_bounded_state_distributed_replay(ray_session, corpus, small_cfg, tmp_path):
+    """state_cap + tentative_shards together (the 10^10 configuration):
+    capped per-range pendings and hash-array deltas still converge to the
+    oracle outputs."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(state_cap=8, wave_url_cap=16, tentative_shards=4)
+    base = CrawlEngine(corpus, small_cfg, CrawlConfig()).run()
+    eng = CrawlEngine(
+        corpus, small_cfg, cfg, spill_dir=str(tmp_path / "spill2")
+    ).run()
+    log = eng.crawl_log_table()
+    got = list(zip(log["domain"].to_pylist(), log["url"].to_pylist(), log["seq"].to_pylist()))
+    assert got == [(r[0], r[1], r[6]) for r in base.crawl_rows]
+    assert eng.link_dict == base.link_dict
+    assert eng.domain_status == base.domain_status
+    base.shutdown()
+    eng.shutdown()
+
+
+def test_bounded_pending_protects_committed_prefix():
+    """Compaction never evicts wants at/under the protect rank, always keeps
+    the best-priority tail, and counts what it dropped."""
+    from rayfrontier.state.spill import BoundedPending
+
+    p = BoundedPending(cap=4)
+    p.protect_rank = 1
+    # rank-0/1 wants (the committing domains) + a flood of deep wants
+    p.want("img_a", 0, 0)
+    p.want("img_b", 1, 1)
+    for k in range(20):
+        p.want(f"img_{k:03d}", 1, 5 + k)
+    assert len(p) <= 2 * 4 + 2
+    assert "img_a" in p and "img_b" in p, "protected wants evicted"
+    kept_ranks = sorted(v[1] for v in p.values())
+    # survivors beyond the protected ones are the best (lowest-rank) floods
+    assert p.dropped > 0
+    assert kept_ranks[2:] == sorted(kept_ranks[2:])
+    # better-priority re-want of an evicted id re-enters
+    p.want("img_019", 0, 2)
+    assert p["img_019"][0] == 0
+
+
 def test_engine_parity_distributed_replay(ray_session, corpus, small_cfg):
     """tentative_shards > 1 distributes prefetch prediction over Ray tasks;
     committed outputs must be bit-identical to the sequential-replay engine."""

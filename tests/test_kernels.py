@@ -288,3 +288,21 @@ def test_fixed_width_fnv_matches_scalar():
     for s, h in zip(ids, vec):
         assert int(h) == hash_text(s)
     assert fnv1a64_fixed_width([]).size == 0
+
+
+def test_variable_width_fnv_matches_scalar():
+    """fnv1a64_var (the replay-actor href hasher) must equal hash_text for
+    every length mix, including empty strings and non-ASCII."""
+    import random
+    import string
+
+    from rayfrontier.functions.hashing import fnv1a64_var, hash_text
+
+    rng = random.Random(7)
+    strs = ["", "a", "/p?q=1#f", "naïve café nbsp", "x" * 300] + [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 90))) for _ in range(300)
+    ]
+    vec = fnv1a64_var(strs)
+    for s, h in zip(strs, vec):
+        assert int(h) == hash_text(s), repr(s)
+    assert fnv1a64_var([]).size == 0
