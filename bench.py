@@ -372,6 +372,43 @@ def rss() -> None:
     print(json.dumps(result))
 
 
+def actor_rss() -> None:
+    """--actor-rss: per-replay-actor residency at tentative_shards R — the
+    VERDICT #4/#5 evidence that actor state is de-replicated: each actor's
+    heap holds an 8 B/artifact id index + bounded cache, while the artifact
+    payload lives ONCE in plasma (node-shared zero-copy), so summed per-actor
+    structural bytes grow only by the small index as R grows."""
+    import ray
+
+    from dataclasses import replace
+
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ensure_corpus()
+    dcfg, ccfg0 = _bench_cfgs()
+    result = {"n_images": N_IMAGES}
+    for R in (4, 16):
+        ccfg = replace(ccfg0, tentative_shards=R)
+        eng = CrawlEngine(BENCH_CORPUS, dcfg, ccfg, validate_rows=True)
+        eng.run()
+        fps = ray.get([a.footprint.remote() for a in (eng._replay_actors or [])])
+        eng.shutdown()
+        result[f"R{R}"] = {
+            "n_actors": len(fps),
+            "per_actor_rss_mb": [f["rss_mb"] for f in fps],
+            "per_actor_index_mb": [round(f["index_bytes"] / 2**20, 2) for f in fps],
+            "sum_index_mb": round(sum(f["index_bytes"] for f in fps) / 2**20, 2),
+            "plasma_shared_mb": round(
+                max((f["plasma_shared_bytes"] for f in fps), default=0) / 2**20, 2
+            ),
+            "cache_entries": [f["cache_entries"] for f in fps],
+        }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
 def crawl_only() -> None:
     import ray
 
@@ -397,6 +434,8 @@ if __name__ == "__main__":
         rss_probe(sys.argv[sys.argv.index("--rss-probe") + 1])
     elif "--rss" in sys.argv:
         rss()
+    elif "--actor-rss" in sys.argv:
+        actor_rss()
     elif "--crawl-only" in sys.argv:
         crawl_only()
     else:

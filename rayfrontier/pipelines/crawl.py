@@ -535,6 +535,26 @@ class _ReplayRangeActor:
             out = dict(sorted(out.items(), key=lambda kv: kv[1])[:cap])
         return out, link_ov.new_hashes()
 
+    def footprint(self) -> dict:
+        """Residency accounting (bench.py --actor-rss evidence): process RSS
+        high-water plus the structural bytes this actor actually owns. The
+        plasma wave tables are node-shared zero-copy reads, reported
+        separately — they are NOT per-actor heap."""
+        import resource
+
+        art = self.view.artifacts
+        return {
+            "rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            ),
+            "index_bytes": int(
+                self.link_base.nbytes + self.policy_base.nbytes + art.all_ids.nbytes
+            ),
+            "cache_entries": len(art.cache),
+            "plasma_shared_bytes": int(sum(t.nbytes for _, t in art.waves)),
+            "n_domains": self.hi - self.lo,
+        }
+
 
 def _new_art_cols() -> dict:
     return {"id": [], "ok": [], "th": [], "sim": [], "hrefs": []}

@@ -30,15 +30,35 @@ from ..functions.hashing import hash_text
 # fetch tasks hit the same shard's index many times per wave
 _SIDECAR_IDX_CACHE: dict = {}
 
+# per-process cache of each corpus's recorded shard count (meta.json is tiny
+# but fetch tasks construct a PagesStore per chunk)
+_META_SHARDS_CACHE: dict[str, int] = {}
+
 
 class PagesStore:
     """Keyed batch lookup into the sharded pages table."""
 
     def __init__(self, corpus_dir: str, n_shards: int | None = None):
         self.pages_dir = os.path.join(corpus_dir, "pages")
-        if n_shards is None:
-            with open(os.path.join(corpus_dir, "meta.json")) as fp:
-                n_shards = json.load(fp)["n_shards"]
+        # The corpus's own meta.json is AUTHORITATIVE: shard_of must use the
+        # modulus the writer used, or keyed lookups map ids to shards that
+        # don't exist on disk (a stale cached corpus written at a different
+        # shard count than the caller's config silently has fewer dirs).
+        # The caller-passed n_shards is only a fallback for meta-less dirs.
+        meta_n = _META_SHARDS_CACHE.get(corpus_dir)
+        if meta_n is None:
+            try:
+                with open(os.path.join(corpus_dir, "meta.json")) as fp:
+                    meta_n = int(json.load(fp)["n_shards"])
+                _META_SHARDS_CACHE[corpus_dir] = meta_n
+            except (OSError, KeyError, ValueError):
+                meta_n = -1  # not cached: meta.json may be written later
+        if meta_n > 0:
+            n_shards = meta_n
+        elif n_shards is None:
+            raise FileNotFoundError(
+                f"{corpus_dir}/meta.json missing and no n_shards given"
+            )
         self.n_shards = int(n_shards)
 
     def shard_of(self, image_id: str) -> int:
