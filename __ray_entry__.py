@@ -455,12 +455,16 @@ def _q_events_sketches(sf_dir: str):
 
 
 def _q_docs_dedup_components(sf_dir: str):
-    """Near-dup GROUPS: minhash pairs → connected components (min-label
-    propagation) — the iterative-algorithm family (no SQL equivalent)."""
-    from rayfrontier.pipelines.dedup import dedup_components, minhash_lsh_pairs
+    """Near-dup GROUPS: exact 3-gram Jaccard pairs → connected components
+    (min-label propagation). SQL-checked: the edge set is the same
+    DuckDB-reproducible predicate as docs_ngram_pairs, and the fixpoint
+    itself has a faithful recursive-CTE oracle (label propagation as
+    transitive reachability + min per node). The minhash-LSH edge variant
+    of the same operator is pinned by pytest (planted near-dup recall)."""
+    from rayfrontier.pipelines.dedup import dedup_components, ngram_jaccard_pairs
 
     docs = _docs(sf_dir)
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, jaccard_threshold=0.5)
     return dedup_components(pairs, docs.select_columns(["doc_id"]))
 
 
@@ -675,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_word_count": _q_docs_word_count,
         "docs_quality": _q_docs_quality,
         "docs_ngram_pairs": _q_docs_ngram_pairs,
+        "docs_dedup_components": _q_docs_dedup_components,
         "knn_brute": _q_knn_brute,
         "knn_batch": _q_knn_batch,
         # crawl/parse aggregations (SQL-checked against parquet dumps of the
@@ -689,7 +694,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequential_text": _q_sequential_text,
         "rule_histograms": _q_rule_histograms,
         # rows-only (no faithful ANSI-SQL equivalent)
-        "docs_dedup_components": _q_docs_dedup_components,
         "events_sketches": _q_events_sketches,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -903,6 +907,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        """,
+        "docs_dedup_components": """
+            -- connected components over the exact 3-gram Jaccard ≥ 0.5 edge
+            -- set (same predicate as docs_ngram_pairs): transitive label
+            -- reachability via a recursive CTE, then min label per node.
+            -- Propagating only labels smaller than the receiving node keeps
+            -- the closure small without losing the per-component minimum
+            -- (the min label is below every other id in its component, so
+            -- every hop of its propagation path passes the guard).
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            allowed AS (
+              SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 256
+            ),
+            co AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+              FROM sh x
+              JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              WHERE x.s IN (SELECT s FROM allowed)
+              GROUP BY x.doc_id, y.doc_id
+            ),
+            pairs AS (
+              SELECT a, b FROM co
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+            ),
+            edges AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT doc_id AS node, doc_id AS lab FROM documents
+              UNION
+              SELECT e.b AS node, r.lab
+              FROM reach r JOIN edges e ON e.a = r.node
+              WHERE r.lab < e.b
+            )
+            SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
+            FROM reach GROUP BY node
         """,
         "knn_batch": """
             SELECT query_id, vec_id, cos FROM (
