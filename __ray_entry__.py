@@ -400,17 +400,16 @@ def _q_docs_quality(sf_dir: str):
 
 
 def _q_docs_sample_profile(sf_dir: str):
-    """O3 seeded sampling composed with language-ID + winnowing fingerprints:
-    sample once (materialized so both profile stages see identical rows),
-    then run the langid and fingerprint map stages over it. One query, three
-    operators (sample / langid / fingerprint) — all rows-only (heuristic
-    votes and rolling hashes have no faithful ANSI-SQL equivalent)."""
-    from rayfrontier.pipelines.textstats import fingerprints, langid
+    """O3 seeded sampling composed with language-ID + winnowing fingerprints
+    fused into one map pass (textstats.profile — both are per-row functions
+    of the same text, so no join and no driver-side merge at any scale).
+    One query, three operators (sample / langid / fingerprint) — all
+    rows-only (heuristic votes and rolling hashes have no faithful ANSI-SQL
+    equivalent)."""
+    from rayfrontier.pipelines.textstats import profile
 
-    sample = _docs(sf_dir).random_sample(0.1, seed=42).materialize()
-    lang = langid(sample).to_pandas()
-    fp = fingerprints(sample).to_pandas()
-    out = lang.merge(fp, on="doc_id", how="inner").sort_values("doc_id")
+    sample = _docs(sf_dir).random_sample(0.1, seed=42)
+    out = profile(sample).to_pandas().sort_values("doc_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -124,6 +124,25 @@ def token_counts(docs, text_col: str = "text", id_col: str = "doc_id"):
     return docs.map_batches(stage, batch_format="pyarrow")
 
 
+def profile(docs, window: int = 8):
+    """Language-ID + winnowing fingerprint fused into ONE map pass.
+
+    Both are per-row functions of the same text, so composing them in one
+    stage needs no join at any scale (and scans each text once). Output:
+    (doc_id, lang_pred, lang_conf, fingerprint).
+    """
+
+    def stage(t: pa.Table) -> pa.Table:
+        out = _langid_stage(t)
+        fps = [
+            np.int64(np.uint64(rolling_fingerprint(x, window))).item()
+            for x in t["text"].to_pylist()
+        ]
+        return out.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+    return docs.map_batches(stage, batch_format="pyarrow", batch_size=2048)
+
+
 def fingerprints(docs, window: int = 8, text_col: str = "text", id_col: str = "doc_id"):
     """Winnowing rolling-hash fingerprint per doc (robust doc identity)."""
 
