@@ -124,6 +124,112 @@ def _parity_dumps() -> str:
     return _DUMP_DIR
 
 
+def _oracle_replay_dumps() -> str:
+    """Parquet dumps of the INDEPENDENT sequential oracle's outputs.
+
+    Unlike :func:`_parity_dumps` (the engine's own tables, re-aggregated by
+    SQL), these come from ``rayfrontier/oracle.py``'s ``sequential_crawl`` — a
+    from-scratch, single-threaded spec implementation of the reference main
+    loop (src/crawler.py:140-230) with its own control flow. The driver-side
+    SQL compare for crawl_log / crawl_url_seen / crawl_domains /
+    accepted_pages therefore certifies engine ≡ sequential replay end-to-end,
+    not merely that SQL can re-aggregate what the engine emitted. Accepted
+    payload digests are regenerated purely (``gen_row``) — no corpus read, no
+    Ray."""
+    if "oracle_dumped" not in _CORPUS_CACHE:
+        import pyarrow.parquet as pq
+
+        from rayfrontier.config import CrawlConfig
+        from rayfrontier.datagen import (
+            SyntheticStore,
+            dictionary_set,
+            gen_row,
+            ground_truth_text,
+            image_id,
+            seeds_list,
+        )
+        from rayfrontier.functions.hashing import fnv1a64
+        from rayfrontier.oracle import sequential_crawl
+
+        os.makedirs(_DUMP_DIR, exist_ok=True)
+        _corpus_dir()
+        cfg = _CORPUS_CACHE["cfg"]
+        store = SyntheticStore(cfg)
+        res = sequential_crawl(
+            seeds_list(cfg), store, CrawlConfig(), ground_truth_text(cfg), dictionary_set(cfg)
+        )
+        log = pa.table(
+            {
+                "domain": pa.array([r[0] for r in res.crawl_log], pa.string()),
+                "url": pa.array([r[1] for r in res.crawl_log], pa.string()),
+                "sim": pa.array([r[2] for r in res.crawl_log], pa.float64()),
+                "ok": pa.array([r[3] for r in res.crawl_log], pa.bool_()),
+                "valid": pa.array([r[4] for r in res.crawl_log], pa.bool_()),
+                "dup": pa.array([r[5] for r in res.crawl_log], pa.bool_()),
+                "seq": pa.array([r[6] for r in res.crawl_log], pa.int64()),
+            }
+        )
+        seen_items = sorted(res.url_seen.items())
+        seen = pa.table(
+            {
+                "url": pa.array([k for k, _ in seen_items], pa.string()),
+                "revisits": pa.array([v for _, v in seen_items], pa.int64()),
+            }
+        )
+        seeds = seeds_list(cfg)
+        doms = pa.table(
+            {
+                "domain": pa.array(seeds, pa.string()),
+                "status": pa.array([res.domain_status.get(d, "") for d in seeds], pa.string()),
+                "sim_avg": pa.array(
+                    [res.domain_sim_avg.get(d, 0.0) for d in seeds], pa.float64()
+                ),
+            }
+        )
+        # accepted-page digests: valid non-dup log rows, payloads regenerated
+        # purely from the datagen spec (bit-identical to what write_corpus
+        # stored and the engine's keyed-lookup read returns)
+        acc_rows = []
+        for domain, url, sim, ok, valid, dup, seq in res.crawl_log:
+            if not (valid and not dup):
+                continue
+            j = store.resolve(url)
+            if j is None:
+                continue
+            row = gen_row(cfg, j, store.hm)
+            acc_rows.append(
+                (
+                    image_id(j),
+                    domain,
+                    url,
+                    sim,
+                    seq,
+                    np.int64(np.uint64(fnv1a64(row["bytes"]))).item(),
+                    len(row["caption"]),
+                )
+            )
+        acc = pa.table(
+            {
+                "image_id": pa.array([r[0] for r in acc_rows], pa.string()),
+                "domain": pa.array([r[1] for r in acc_rows], pa.string()),
+                "url": pa.array([r[2] for r in acc_rows], pa.string()),
+                "sim": pa.array([r[3] for r in acc_rows], pa.float64()),
+                "seq": pa.array([r[4] for r in acc_rows], pa.int64()),
+                "bytes_hash": pa.array([r[5] for r in acc_rows], pa.int64()),
+                "n_text_chars": pa.array([r[6] for r in acc_rows], pa.int64()),
+            }
+        )
+        for name, tbl in (
+            ("oracle_crawl_log", log),
+            ("oracle_url_seen", seen),
+            ("oracle_domains", doms),
+            ("oracle_accepted", acc),
+        ):
+            pq.write_table(tbl, os.path.join(_DUMP_DIR, f"{name}.parquet"))
+        _CORPUS_CACHE["oracle_dumped"] = True
+    return _DUMP_DIR
+
+
 def entry() -> Any:
     """Flagship: full crawl (fetch→decode/strip→score→dedup→frontier) on the
     synthetic corpus; returns the crawl log (exact sequential-parity order)."""
@@ -582,10 +688,38 @@ def _q_domain_page_counts(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
-def _q_accepted_pages(sf_dir: str):
-    """K1/K2: accepted policy pages (payload digest, not raw bytes)."""
-    from rayfrontier.functions.hashing import fnv1a64
+def _q_crawl_log(sf_dir: str):
+    """Full crawl log — SQL-checked against the sequential oracle's replay
+    dump (engine ≡ oracle on the driver, not just in pytest)."""
+    from rayfrontier.functions.rounding import quantize_cols
 
+    _oracle_replay_dumps()
+    return quantize_cols(_crawl_engine().crawl_log_table(), {"sim": 6})
+
+
+def _q_crawl_url_seen(sf_dir: str):
+    """URL-seen set with revisit counts (the reference's link_dict), checked
+    against the oracle replay's url_seen dump."""
+    _oracle_replay_dumps()
+    return _crawl_engine().url_seen_table()
+
+
+def _q_crawl_domains(sf_dir: str):
+    """Per-domain outcome + incremental mean sim, checked against the oracle
+    replay's domains dump."""
+    from rayfrontier.functions.rounding import quantize_cols
+
+    _oracle_replay_dumps()
+    return quantize_cols(_crawl_engine().domains_table(), {"sim_avg": 6})
+
+
+def _q_accepted_pages(sf_dir: str):
+    """K1/K2: accepted policy pages (payload digest, not raw bytes), checked
+    against purely-regenerated digests of the oracle replay's accepted set."""
+    from rayfrontier.functions.hashing import fnv1a64
+    from rayfrontier.functions.rounding import quantize_cols
+
+    _oracle_replay_dumps()
     ds = _crawl_engine().accepted_pages_dataset()
 
     _DIGEST_SCHEMA = pa.schema(
@@ -617,7 +751,7 @@ def _q_accepted_pages(sf_dir: str):
         )
 
     out = ds.map_batches(digest, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return quantize_cols(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"sim": 6})
 
 
 def _q_url_canonicalize(sf_dir: str):
@@ -692,6 +826,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tag_paragraphs": _q_tag_paragraphs,
         "sequential_text": _q_sequential_text,
         "rule_histograms": _q_rule_histograms,
+        # crawl parity tables — SQL-checked against the INDEPENDENT sequential
+        # oracle's replay dumps (_oracle_replay_dumps): the driver compare is
+        # engine ≡ oracle, row for row
+        "crawl_log": _q_crawl_log,
+        "crawl_url_seen": _q_crawl_url_seen,
+        "crawl_domains": _q_crawl_domains,
+        "accepted_pages": _q_accepted_pages,
         # rows-only (no faithful ANSI-SQL equivalent)
         "events_sketches": _q_events_sketches,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -704,11 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal actor-pool stages (synthetic corpus payloads)
         "image_pipeline": _q_image_pipeline,
         "frame_sample": _q_frame_sample,
-        # crawl / parse / verify parity tables (byte-parity is pytest's job)
-        "crawl_log": lambda sf: _crawl_engine().crawl_log_table(),
-        "crawl_url_seen": lambda sf: _crawl_engine().url_seen_table(),
-        "crawl_domains": lambda sf: _crawl_engine().domains_table(),
-        "accepted_pages": _q_accepted_pages,
+        # parse / verify parity tables (byte-parity is pytest's job)
         "parse_elements": _q_elements,
         "parse_sentences": _q_sentences,
         "verify_scores": _q_scores,
@@ -1049,5 +1186,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM per_doc
             GROUP BY rule, bin_lo
+        """,
+        # -- crawl parity oracles over the INDEPENDENT sequential replay's
+        # -- dumps (_oracle_replay_dumps — rayfrontier/oracle.py, its own
+        # -- control flow): driver compare = engine ≡ oracle, row for row
+        "crawl_log": f"""
+            SELECT domain, url, round(sim, 6) AS sim, ok, valid, dup, seq
+            FROM read_parquet('{_DUMP_DIR}/oracle_crawl_log.parquet')
+        """,
+        "crawl_url_seen": f"""
+            SELECT url, revisits
+            FROM read_parquet('{_DUMP_DIR}/oracle_url_seen.parquet')
+        """,
+        "crawl_domains": f"""
+            SELECT domain, status, round(sim_avg, 6) AS sim_avg
+            FROM read_parquet('{_DUMP_DIR}/oracle_domains.parquet')
+        """,
+        "accepted_pages": f"""
+            SELECT image_id, domain, url, round(sim, 6) AS sim, seq,
+                   bytes_hash, n_text_chars
+            FROM read_parquet('{_DUMP_DIR}/oracle_accepted.parquet')
         """,
     }
