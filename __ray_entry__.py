@@ -230,6 +230,131 @@ def _oracle_replay_dumps() -> str:
     return _DUMP_DIR
 
 
+def _sequential_parse_dumps() -> str:
+    """Driver-sequential recompute of the parse/verify tables, dumped to
+    parquet for DuckDB oracles.
+
+    Independent assembly from the distributed pipelines: one plain-Python loop
+    over purely-regenerated pages, using the SCALAR spec kernels —
+    ``apply_sentence_rules`` (the reference's per-sentence rule walk,
+    src/statistics/sentences.py:81-111) where the Dataset path runs the
+    vectorized RE2 kernels, and an inline first-wins dedup where the Dataset
+    path runs the coarse-partitioned aggregate. No Ray anywhere."""
+    if "seq_parse_dumped" not in _CORPUS_CACHE:
+        import pyarrow.parquet as pq
+
+        from rayfrontier.datagen import (
+            HostMap,
+            caption_html,
+            dictionary_set,
+            ground_truth_text,
+            image_id,
+        )
+        from rayfrontier.functions.hashing import hash_text
+        from rayfrontier.functions.minihtml import compare_parsed_text, strip_text, walk_elements
+        from rayfrontier.functions.textrules import (
+            apply_sentence_rules,
+            build_rule_dict,
+            is_english,
+            remove_company_names,
+            split_sentences,
+        )
+        from rayfrontier.functions.tfidf import pair_cosine, term_counts
+
+        os.makedirs(_DUMP_DIR, exist_ok=True)
+        _corpus_dir()
+        cfg = _CORPUS_CACHE["cfg"]
+        hm = HostMap(cfg)
+        rules = build_rule_dict()
+        gt_counts = term_counts(ground_truth_text(cfg))
+        dictionary = dictionary_set(cfg)
+
+        el_rows, sent_rows, score_rows = [], [], []
+        for i in range(cfg.n_images):
+            doc_id = image_id(i)
+            html = caption_html(cfg, i, hm)
+            auto = strip_text(html)
+            # verify pipeline covers every page, parse skips empty ones
+            text = remove_company_names(auto, doc_id)
+            th = np.int64(np.uint64(hash_text(text))).item()
+            eng = bool(text) and is_english(dictionary, text)
+            sim = pair_cosine(gt_counts, text) if eng else 0.0
+            score_rows.append([doc_id, sim, eng, th])
+            if html == "" or auto == "":
+                continue
+            els = walk_elements(html)
+            n_left = len(compare_parsed_text(els, auto))
+            ok = n_left <= 5  # parser-tokenizer.py:304-317
+            for k, (etext, tag, tag_idx) in enumerate(els):
+                # reference neighbor quirk: [-1] at k=0 wraps to the LAST
+                # element; only the high end yields "None"
+                pe = els[k - 1]
+                prec = pe[1] + str(pe[2])
+                proc = "None" if k + 1 >= len(els) else els[k + 1][1] + str(els[k + 1][2])
+                el_rows.append([doc_id, k, tag, tag_idx, prec, proc, etext, ok, n_left])
+                if ok and tag in ("p", "h"):
+                    for si, s in enumerate(split_sentences(etext)):
+                        hits = apply_sentence_rules(s, rules)
+                        sent_rows.append(
+                            [doc_id, k, tag + str(tag_idx), prec, proc, si, s,
+                             len(s.split()), "|".join(hits)]
+                        )
+        # first-wins exact dedup, winner = min doc_id per text hash
+        first: dict[int, str] = {}
+        for doc_id, _sim, _eng, th in sorted(score_rows):
+            first.setdefault(th, doc_id)
+        for r in score_rows:
+            r.append(r[0] != first[r[3]])
+
+        els_t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in el_rows], pa.string()),
+                "seq_idx": pa.array([r[1] for r in el_rows], pa.int32()),
+                "tag": pa.array([r[2] for r in el_rows], pa.string()),
+                "tag_idx": pa.array([r[3] for r in el_rows], pa.int32()),
+                "prec_by": pa.array([r[4] for r in el_rows], pa.string()),
+                "proc_by": pa.array([r[5] for r in el_rows], pa.string()),
+                "text": pa.array([r[6] for r in el_rows], pa.large_string()),
+                "parse_ok": pa.array([r[7] for r in el_rows]),
+                "n_leftover": pa.array([r[8] for r in el_rows], pa.int32()),
+            }
+        )
+        sent_t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in sent_rows], pa.string()),
+                "seq_idx": pa.array([r[1] for r in sent_rows], pa.int32()),
+                "tag": pa.array([r[2] for r in sent_rows], pa.string()),
+                "prec_by": pa.array([r[3] for r in sent_rows], pa.string()),
+                "proc_by": pa.array([r[4] for r in sent_rows], pa.string()),
+                "sent_idx": pa.array([r[5] for r in sent_rows], pa.int32()),
+                "text": pa.array([r[6] for r in sent_rows], pa.large_string()),
+                "n_words": pa.array([r[7] for r in sent_rows], pa.int32()),
+                "rule_hits": pa.array([r[8] for r in sent_rows], pa.string()),
+            }
+        )
+        thr = 0.6
+        sims = [(-2.0 if r[4] else r[1]) for r in score_rows]  # DUP_SENTINEL
+        sc_t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in score_rows], pa.string()),
+                "sim": pa.array(sims, pa.float64()),
+                "english": pa.array([r[2] for r in score_rows]),
+                "dup": pa.array([r[4] for r in score_rows]),
+                "borderline": pa.array(
+                    [thr - 0.05 <= s <= thr + 0.05 for s in sims]
+                ),
+            }
+        )
+        for name, tbl in (
+            ("oracle_elements", els_t),
+            ("oracle_sentences", sent_t),
+            ("oracle_scores", sc_t),
+        ):
+            pq.write_table(tbl, os.path.join(_DUMP_DIR, f"{name}.parquet"))
+        _CORPUS_CACHE["seq_parse_dumped"] = True
+    return _DUMP_DIR
+
+
 def entry() -> Any:
     """Flagship: full crawl (fetch→decode/strip→score→dedup→frontier) on the
     synthetic corpus; returns the crawl log (exact sequential-parity order)."""
@@ -241,10 +366,21 @@ def entry() -> Any:
 
 
 def _q_sentences(sf_dir: str):
-    return _sentences_table()
+    """Distributed sentence table (vectorized RE2 rule kernels), SQL-checked
+    against the driver-sequential SCALAR-spec recompute. rule_hits presented
+    pipe-joined (order is part of the spec) so the compare covers it."""
+    import pyarrow.compute as pc
+
+    _sequential_parse_dumps()
+    t = _sentences_table()
+    joined = pc.binary_join(t["rule_hits"], pa.scalar("|"))
+    return t.set_column(t.schema.get_field_index("rule_hits"), "rule_hits", joined)
 
 
 def _q_elements(sf_dir: str):
+    """Distributed elements table, SQL-checked against the driver-sequential
+    per-page recompute."""
+    _sequential_parse_dumps()
     return _elements_table()
 
 
@@ -323,12 +459,16 @@ def _q_rule_histograms(sf_dir: str):
 
 def _q_scores(sf_dir: str):
     from rayfrontier.datagen import dictionary_set, ground_truth_text
+    from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.score import scores_dataset
 
+    _sequential_parse_dumps()
     _corpus_dir()
     cfg = _CORPUS_CACHE["cfg"]
     ds = scores_dataset(_pages_ds(), ground_truth_text(cfg), dictionary_set(cfg))
-    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return quantize_cols(
+        pa.Table.from_pandas(ds.to_pandas(), preserve_index=False), {"sim": 6}
+    )
 
 
 def _q_docs_exact_dedup(sf_dir: str):
@@ -833,6 +973,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_seen": _q_crawl_url_seen,
         "crawl_domains": _q_crawl_domains,
         "accepted_pages": _q_accepted_pages,
+        # parse/verify parity tables — SQL-checked against the driver-
+        # sequential scalar-spec recompute (_sequential_parse_dumps)
+        "parse_elements": _q_elements,
+        "parse_sentences": _q_sentences,
+        "verify_scores": _q_scores,
         # rows-only (no faithful ANSI-SQL equivalent)
         "events_sketches": _q_events_sketches,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -845,10 +990,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal actor-pool stages (synthetic corpus payloads)
         "image_pipeline": _q_image_pipeline,
         "frame_sample": _q_frame_sample,
-        # parse / verify parity tables (byte-parity is pytest's job)
-        "parse_elements": _q_elements,
-        "parse_sentences": _q_sentences,
-        "verify_scores": _q_scores,
     }
 
 
@@ -1206,5 +1347,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, domain, url, round(sim, 6) AS sim, seq,
                    bytes_hash, n_text_chars
             FROM read_parquet('{_DUMP_DIR}/oracle_accepted.parquet')
+        """,
+        # -- parse/verify oracles over the driver-sequential SCALAR-spec
+        # -- recompute (_sequential_parse_dumps): scalar rule walk + inline
+        # -- first-wins dedup vs the vectorized / coarse-partitioned Dataset
+        # -- paths
+        "parse_elements": f"""
+            SELECT doc_id, seq_idx, tag, tag_idx, prec_by, proc_by, text,
+                   parse_ok, n_leftover
+            FROM read_parquet('{_DUMP_DIR}/oracle_elements.parquet')
+        """,
+        "parse_sentences": f"""
+            SELECT doc_id, seq_idx, tag, prec_by, proc_by, sent_idx, text,
+                   n_words, rule_hits
+            FROM read_parquet('{_DUMP_DIR}/oracle_sentences.parquet')
+        """,
+        "verify_scores": f"""
+            SELECT doc_id, round(sim, 6) AS sim, english, dup, borderline
+            FROM read_parquet('{_DUMP_DIR}/oracle_scores.parquet')
         """,
     }
