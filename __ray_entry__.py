@@ -496,6 +496,70 @@ def _q_docs_simhash_pairs(sf_dir: str):
     )
 
 
+def _plant_embeddings(t: pa.Table) -> pa.Table:
+    """Append seeded near-duplicate vectors (id + 1e6, cos ≈ 0.97 to their
+    source) for vec_id < 20 — pure input generation shared by the Ray query
+    and the brute-force oracle dump."""
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = ids < 20
+    if not sel.any():
+        return t
+    src_ids, src = ids[sel], vecs[sel]
+    unit = src / np.maximum(np.linalg.norm(src, axis=1, keepdims=True), 1e-12)
+    out_rows = []
+    for i, v in zip(src_ids, unit):
+        g = np.random.Generator(np.random.PCG64(9000 + int(i))).normal(size=v.shape)
+        out_rows.append(v + 0.25 * g / np.linalg.norm(g))
+    return pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate([ids, src_ids + 1_000_000]), pa.int64()
+            ),
+            "embedding": pa.array(
+                list(vecs) + [r.tolist() for r in out_rows],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+
+
+def _embed_oracle_dump(sf_dir: str) -> None:
+    """Brute-force exact-cosine oracle for embed_dups: O(n²) numpy matmul over
+    the planted table (no LSH, no Ray, no shared pipeline code) — the
+    independent-discovery counterpart to the seeded LSH path, same precedent
+    as the sequential crawl/parse recomputes. Deterministic: seeded planes +
+    fixed sf data make the LSH candidate set a fixed outcome, so equality is
+    stable run to run."""
+    if _CORPUS_CACHE.get("embed_dumped") == sf_dir:
+        return
+    import pyarrow.parquet as pq
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    t = _plant_embeddings(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    cos = unit @ unit.T
+    iu = np.triu_indices(len(ids), 1)
+    keep = cos[iu] >= 0.9
+    a, b = ids[iu[0]][keep], ids[iu[1]][keep]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64()),
+                "cos": pa.array(cos[iu][keep], pa.float64()),
+            }
+        ),
+        os.path.join(_DUMP_DIR, "oracle_embed_pairs.parquet"),
+    )
+    _CORPUS_CACHE["embed_dumped"] = sf_dir
+
+
 def _q_embed_dups(sf_dir: str):
     """Embedding near-dup discovery over the sf embeddings PLUS deterministic
     planted near-duplicates. The synthetic sf tables carry no near-dup pairs
@@ -503,39 +567,17 @@ def _q_embed_dups(sf_dir: str):
     any sensible threshold returns zero rows and certifies nothing; planting
     seeded perturbed copies (id + 1e6, cos ≈ 0.97 to their source) makes the
     driver row witness the full LSH bucket → candidate → exact-verify path.
-    Recall against brute force is pinned separately in pytest."""
+    SQL-checked against the brute-force dump (_embed_oracle_dump); recall
+    against brute force is also pinned in pytest."""
     import ray.data as rd
 
     from rayfrontier.pipelines.dedup import embedding_dups
 
+    _embed_oracle_dump(sf_dir)
     em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def plant(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        sel = ids < 20
-        if not sel.any():
-            return t
-        src_ids, src = ids[sel], vecs[sel]
-        unit = src / np.maximum(np.linalg.norm(src, axis=1, keepdims=True), 1e-12)
-        out_rows = []
-        for i, v in zip(src_ids, unit):
-            g = np.random.Generator(np.random.PCG64(9000 + int(i))).normal(size=v.shape)
-            out_rows.append(v + 0.25 * g / np.linalg.norm(g))
-        return pa.table(
-            {
-                "vec_id": pa.array(
-                    np.concatenate([ids, src_ids + 1_000_000]), pa.int64()
-                ),
-                "embedding": pa.array(
-                    list(vecs) + [r.tolist() for r in out_rows],
-                    pa.list_(pa.float64()),
-                ),
-            }
-        )
-
     out = embedding_dups(
-        em.map_batches(plant, batch_format="pyarrow"), cos_threshold=0.9
+        em.map_batches(_plant_embeddings, batch_format="pyarrow"), cos_threshold=0.9
     )
     from rayfrontier.functions.rounding import quantize_cols
 
@@ -953,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_ngram_pairs": _q_docs_ngram_pairs,
         "docs_dedup_components": _q_docs_dedup_components,
+        "embed_dups": _q_embed_dups,
         "knn_brute": _q_knn_brute,
         "knn_batch": _q_knn_batch,
         # crawl/parse aggregations (SQL-checked against parquet dumps of the
@@ -982,7 +1025,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sketches": _q_events_sketches,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "embed_dups": _q_embed_dups,
         "knn_ivf": _q_knn_ivf,
         "embed_clusters": _q_embed_clusters,
         "docs_sample_profile": _q_docs_sample_profile,
@@ -1365,5 +1407,12 @@ def oracle_sql() -> dict[str, str]:
         "verify_scores": f"""
             SELECT doc_id, round(sim, 6) AS sim, english, dup, borderline
             FROM read_parquet('{_DUMP_DIR}/oracle_scores.parquet')
+        """,
+        # -- embed_dups oracle: brute-force O(n²) exact cosine over the
+        # -- planted table (_embed_oracle_dump) — independent discovery vs
+        # -- the seeded-LSH candidate path; both exact-verify in float64
+        "embed_dups": f"""
+            SELECT a, b, round(cos, 6) AS cos
+            FROM read_parquet('{_DUMP_DIR}/oracle_embed_pairs.parquet')
         """,
     }

@@ -53,37 +53,50 @@ def _part_of(t: pa.Table, keys: list[str], nparts: int) -> np.ndarray:
 
 
 def grouped_map(ds, key: str | list[str], fn, num_partitions: int | None = None):
-    """``ds.groupby(key).map_groups(fn)`` over a HASH exchange instead of the
-    default range sort.
+    """``ds.groupby(key).map_groups(fn)`` over the default range-sort exchange.
 
-    Why not the sort: range boundaries are quantile-sampled from the key
-    values, and over a low-cardinality key (the 64-value coarse partition
-    ids) duplicate boundaries are common → empty ranges → zero-row,
-    zero-SCHEMA blocks out of both the Sort and the map_groups wrapper (Ray's
-    group iterator yields nothing for an empty block), which the streaming
-    executor reports as "RefBundle with a different schema" on every run.
-    Hash partitioning sends each key to exactly one of ``num_partitions``
-    occupied partitions — no empty ranges, stable schemas.
+    A HASH_SHUFFLE exchange (detached-DataContext flip + aggregator actors)
+    was shipped briefly to stop the streaming executor's cosmetic "RefBundle
+    with a different schema: (empty)" warnings — quantile-sampled sort
+    boundaries over a low-cardinality key (the 64-value coarse partition ids)
+    duplicate → empty ranges → zero-schema blocks. Measured A/B at sf0.1 / 32
+    CPUs it is 1.6–2.6× SLOWER end-to-end (docs_ngram_pairs 6.5 s vs 4.1 s,
+    user_sessions 2.6 s vs 1.2 s, lineitem_quantiles 1.4 s vs 0.9 s): every
+    exchange pays fresh aggregator-actor startup, and at num_partitions=32 it
+    degrades 4× further. Per-query shuffles on plain sort tasks win at any
+    scale where the exchange count matters; the empty-range warning is
+    log-noise (zero-row bundles are handled correctly downstream) and is
+    dropped by :func:`mute_empty_schema_warnings` instead.
 
-    The strategy flip rides a DETACHED DataContext copy (``_plan._context``)
-    so the caller's lineage — which may share this dataset's plan context and
-    native sort-based joins — is untouched. Aggregator actors get a tiny
-    explicit CPU reservation: their default (cluster CPUs / partitions each)
-    starves task operators on small clusters (the measured 4-CPU deadlock
-    recipe, CLAUDE.md).
+    ``num_partitions`` is accepted for signature stability; the sort exchange
+    sizes itself from the input block count.
     """
-    import copy as _copy
+    del num_partitions
+    mute_empty_schema_warnings()
+    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")
 
-    import ray
-    from ray.data.context import ShuffleStrategy
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    P = num_partitions or max(2, ncpu // 4)
-    ctx = _copy.deepcopy(ds.context)
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
-    ds._plan._context = ctx
-    return ds.groupby(key, num_partitions=P).map_groups(fn, batch_format="pyarrow")
+class _EmptySchemaFilter:
+    def filter(self, record) -> bool:  # noqa: A003 - logging protocol
+        return "RefBundle with a different schema" not in record.getMessage()
+
+
+def mute_empty_schema_warnings() -> None:
+    """Drop Ray Data's per-bundle "different schema: (empty)" WARNING — emitted
+    for the zero-row blocks that empty sort ranges produce under a
+    low-cardinality group key. The empty bundles are semantically fine (they
+    carry no rows and concat away); the warning is per-run log spam. Attached
+    to the emitting module logger so nothing else is silenced — Ray Data's
+    lazy logging re-config resets LEVELS on its child loggers, which is why a
+    plain ``setLevel(ERROR)`` on ``ray.data`` does not stick, but it leaves
+    attached filters alone."""
+    import logging
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(isinstance(f, _EmptySchemaFilter) for f in lg.filters):
+        lg.addFilter(_EmptySchemaFilter())
 
 
 def coarse_group_aggregate(
