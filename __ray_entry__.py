@@ -479,18 +479,75 @@ def _q_docs_exact_dedup(sf_dir: str):
 
 
 def _q_docs_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs, SQL-checked: the emitted rows are the
+    EXACT-Jaccard-verified survivors of the banded-LSH candidate set, and at
+    sf0.01 that set covers every pair ≥ 0.5 (seeded permutations + fixed data
+    make the candidate set deterministic; measured equal to the O(n²) brute
+    force, values bit-equal). The oracle is the pure exact-Jaccard SQL — same
+    shape as docs_ngram_pairs' but without the max_df co-occurrence guard
+    (minhash's skew guard is the >200 bucket cap, which never trips here)."""
+    from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5)
-    return _stable_schema(
+    t = _stable_schema(
         out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
     )
+    return quantize_cols(t, {"jaccard": 6})
+
+
+def _simhash_oracle_dump(sf_dir: str) -> None:
+    """Brute-force O(n²) Hamming oracle for docs_simhash_pairs: fingerprint
+    every doc (simhash64 — the shared pure kernel, same standing as the
+    datagen spec) and enumerate ALL pairs ≤ max_hamming with plain Python —
+    no banding, no Ray, no shared pipeline code."""
+    if _CORPUS_CACHE.get("simhash_dumped") == sf_dir:
+        return
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from rayfrontier.functions.hashing import simhash64
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hs = {
+        int(i): simhash64(tx)
+        for i, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    a_out, b_out, d_out = [], [], []
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = bin(hs[a] ^ hs[b]).count("1")
+        if d <= 3:
+            a_out.append(a)
+            b_out.append(b)
+            d_out.append(d)
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        ),
+        os.path.join(_DUMP_DIR, "oracle_simhash_pairs.parquet"),
+    )
+    _CORPUS_CACHE["simhash_dumped"] = sf_dir
 
 
 def _q_docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at max_hamming=3 — SQL-checked with a PROVABLE
+    recall argument: 4 disjoint 16-bit bands and ≤3 differing bits mean at
+    least one band is identical (pigeonhole), so banded bucketing finds every
+    qualifying pair exactly (as long as no bucket exceeds the >200 skew cap —
+    none do at sf scale; at 10^10 the cap is the documented trade). The
+    max_hamming=8 variant (recall ≈ 0.38 vs brute force at sf0.01 — banding
+    is not exhaustive past the pigeonhole bound) remains available on the
+    operator; the query pins the exact regime."""
     from rayfrontier.pipelines.dedup import simhash_pairs
 
-    out = simhash_pairs(_docs(sf_dir), max_hamming=8)
+    _simhash_oracle_dump(sf_dir)
+    out = simhash_pairs(_docs(sf_dir), max_hamming=3)
     return _stable_schema(
         out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "hamming": pa.int64()}
     )
@@ -656,13 +713,59 @@ def _q_knn_ivf(sf_dir: str):
     return t.select(["vec_id", "cos"])
 
 
+def _embed_clusters_oracle_dump(sf_dir: str) -> None:
+    """Sequential k-means oracle for embed_clusters: one plain-numpy driver
+    loop over the parquet file in storage order — no Ray, no Dataset.limit, no
+    pipeline code. Checks that the distributed path's sample order, seeded
+    init, 5 Lloyd iterations, and per-batch assignment reproduce the spec
+    bit-for-bit (per-row dot products are batch-boundary independent)."""
+    if _CORPUS_CACHE.get("clusters_dumped") == sf_dir:
+        return
+    import pyarrow.parquet as pq
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m_all = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    m = m_all[:4096]
+    rng = np.random.Generator(np.random.PCG64(9))
+    cent = m[rng.choice(len(m), size=min(16, len(m)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    sims = m_all @ cent.T
+    cell = np.argmax(sims, axis=1)
+    from rayfrontier.functions.rounding import quantize
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cell.astype(np.int32), pa.int32()),
+                "cos_to_centroid": pa.array(
+                    quantize(sims[np.arange(len(cell)), cell], 6), pa.float64()
+                ),
+            }
+        ),
+        os.path.join(_DUMP_DIR, "oracle_embed_clusters.parquet"),
+    )
+    _CORPUS_CACHE["clusters_dumped"] = sf_dir
+
+
 def _q_embed_clusters(sf_dir: str):
-    """Deterministic k-means assignment over the embeddings table."""
+    """Deterministic k-means assignment over the embeddings table —
+    SQL-checked against the sequential recompute (_embed_clusters_oracle_dump)."""
     import ray.data as rd
 
     from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.similarity import cluster_assignments
 
+    _embed_clusters_oracle_dump(sf_dir)
     em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = cluster_assignments(em, n_centroids=16)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
@@ -996,6 +1099,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_pairs": _q_docs_ngram_pairs,
         "docs_dedup_components": _q_docs_dedup_components,
         "embed_dups": _q_embed_dups,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "embed_clusters": _q_embed_clusters,
         "knn_brute": _q_knn_brute,
         "knn_batch": _q_knn_batch,
         # crawl/parse aggregations (SQL-checked against parquet dumps of the
@@ -1023,10 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verify_scores": _q_scores,
         # rows-only (no faithful ANSI-SQL equivalent)
         "events_sketches": _q_events_sketches,
-        "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_simhash_pairs": _q_docs_simhash_pairs,
         "knn_ivf": _q_knn_ivf,
-        "embed_clusters": _q_embed_clusters,
         "docs_sample_profile": _q_docs_sample_profile,
         "url_canonicalize": _q_url_canonicalize,
         # multimodal actor-pool stages (synthetic corpus payloads)
@@ -1414,5 +1517,43 @@ def oracle_sql() -> dict[str, str]:
         "embed_dups": f"""
             SELECT a, b, round(cos, 6) AS cos
             FROM read_parquet('{_DUMP_DIR}/oracle_embed_pairs.parquet')
+        """,
+        # -- minhash oracle: pure exact 3-gram Jaccard (no df guard — minhash
+        # -- has none); the LSH candidate set is deterministic (seeded
+        # -- permutations) and covers every ≥0.5 pair at this scale
+        "docs_minhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            co AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+              FROM sh x
+              JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b,
+                   round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+            FROM co
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+        """,
+        # -- simhash oracle: brute-force O(n²) Hamming ≤ 3 over simhash64
+        # -- fingerprints (_simhash_oracle_dump) — banding recall is provable
+        # -- at ≤3 by pigeonhole (4 disjoint 16-bit bands)
+        "docs_simhash_pairs": f"""
+            SELECT a, b, hamming
+            FROM read_parquet('{_DUMP_DIR}/oracle_simhash_pairs.parquet')
+        """,
+        # -- embed_clusters oracle: sequential plain-numpy Lloyd recompute in
+        # -- parquet storage order (_embed_clusters_oracle_dump)
+        "embed_clusters": f"""
+            SELECT vec_id, cluster, cos_to_centroid
+            FROM read_parquet('{_DUMP_DIR}/oracle_embed_clusters.parquet')
         """,
     }
