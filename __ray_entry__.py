@@ -697,12 +697,65 @@ def _q_knn_batch(sf_dir: str):
     return quantize_cols(t, {"cos": 6})
 
 
+def _ivf_oracle_dump(sf_dir: str) -> None:
+    """Sequential IVF recompute: filter the query row out, train the coarse
+    quantizer on the first 4096 filtered rows in parquet storage order (plain
+    numpy Lloyd, seeded init), probe the top-8 of 16 cells, and take the
+    exact cosine top-10 among probed rows with the pipeline's (cos desc,
+    vec_id asc) tie order — no Ray, no pipeline code."""
+    if _CORPUS_CACHE.get("ivf_dumped") == sf_dir:
+        return
+    import pyarrow.parquet as pq
+
+    from rayfrontier.functions.rounding import quantize
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qvec = vecs[ids == 0][0]
+    keep = ids != 0
+    ids, vecs = ids[keep], vecs[keep]
+    m_all = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    m = m_all[np.argsort(ids)[:4096]]  # quantizer sample = 4096 lowest ids
+    rng = np.random.Generator(np.random.PCG64(9))
+    cent = m[rng.choice(len(m), size=min(16, len(m)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    q = qvec / max(np.linalg.norm(qvec), 1e-12)
+    wanted = set(np.argsort(-(q @ cent.T))[:8].tolist())
+    cell = np.argmax(m_all @ cent.T, axis=1)
+    probe = np.isin(cell, sorted(wanted))
+    sims = m_all[probe] @ q
+    pids = ids[probe]
+    order = np.lexsort((pids, -sims))[:10]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(pids[order], pa.int64()),
+                "cos": pa.array(quantize(sims[order], 6), pa.float64()),
+            }
+        ),
+        os.path.join(_DUMP_DIR, "oracle_ivf.parquet"),
+    )
+    _CORPUS_CACHE["ivf_dumped"] = sf_dir
+
+
 def _q_knn_ivf(sf_dir: str):
+    """IVF approximate kNN (coarse quantizer + nprobe-pruned scan) —
+    SQL-checked against the sequential recompute (_ivf_oracle_dump)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
+    from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.similarity import ivf_knn
 
+    _ivf_oracle_dump(sf_dir)
     em = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     em = em.map_batches(
         lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
@@ -710,7 +763,7 @@ def _q_knn_ivf(sf_dir: str):
     q = _load_query_vec(sf_dir)
     out = ivf_knn(em, q[None, :], k=10, n_centroids=16, nprobe=8)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return t.select(["vec_id", "cos"])
+    return quantize_cols(t.select(["vec_id", "cos"]), {"cos": 6})
 
 
 def _embed_clusters_oracle_dump(sf_dir: str) -> None:
@@ -728,7 +781,7 @@ def _embed_clusters_oracle_dump(sf_dir: str) -> None:
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     m_all = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-    m = m_all[:4096]
+    m = m_all[np.argsort(ids)[:4096]]  # quantizer sample = 4096 lowest ids
     rng = np.random.Generator(np.random.PCG64(9))
     cent = m[rng.choice(len(m), size=min(16, len(m)), replace=False)]
     for _ in range(5):
@@ -790,18 +843,96 @@ def _q_docs_quality(sf_dir: str):
     )
 
 
+def _sample_keep(ids: np.ndarray) -> np.ndarray:
+    """The 10% sampling predicate: splitmix64(doc_id) % 10 == 0. A pure
+    row-wise hash filter instead of Ray's random_sample — the sample is a
+    function of the KEY, not of block layout or an executor RNG, so it is
+    reproducible across shard counts, resumable runs, and engines (which is
+    both the 100 TB-correct sampler and what makes the oracle recompute
+    possible)."""
+    from rayfrontier.functions.hashing import splitmix64
+
+    return (splitmix64(ids.astype(np.uint64)) % np.uint64(10)) == 0
+
+
+def _profile_oracle_dump(sf_dir: str) -> None:
+    """Sequential scalar recompute of the sampled language-ID + fingerprint
+    profile: stdlib-`re` per-row stopword counts (vs the pipeline's Arrow RE2
+    batch kernels) + the shared pure rolling_fingerprint kernel, assembled in
+    one plain Python loop."""
+    if _CORPUS_CACHE.get("profile_dumped") == sf_dir:
+        return
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from rayfrontier.functions.hashing import rolling_fingerprint
+    from rayfrontier.functions.rounding import quantize
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+    keep = _sample_keep(ids)
+    stops = {
+        "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+        "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+        "de": ("der", "die", "und", "das", "von", "zu", "mit", "ist", "den", "nicht"),
+    }
+    pats = {
+        lang: _re.compile(r"(?i)\b(?:" + "|".join(ws) + r")\b")
+        for lang, ws in stops.items()
+    }
+    ws_re = _re.compile(r"\S+")
+    out = {"doc_id": [], "lang_pred": [], "lang_conf": [], "fingerprint": []}
+    for doc_id, text in zip(ids[keep], np.asarray(t["text"].to_pylist(), dtype=object)[keep]):
+        nw = max(len(ws_re.findall(text)), 1)
+        scores = [(len(p.findall(text)) / nw, lang) for lang, p in pats.items()]
+        conf, pred = max(scores, key=lambda s: s[0])
+        # ties resolve to the FIRST language in declaration order, matching
+        # the vectorized argmax
+        for c, lang in scores:
+            if c == conf:
+                pred = lang
+                break
+        out["doc_id"].append(int(doc_id))
+        out["lang_pred"].append(pred if conf > 0.02 else "unknown")
+        out["lang_conf"].append(conf)
+        out["fingerprint"].append(np.int64(np.uint64(rolling_fingerprint(text, 8))).item())
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "lang_pred": pa.array(out["lang_pred"], pa.string()),
+                "lang_conf": pa.array(quantize(out["lang_conf"], 6), pa.float64()),
+                "fingerprint": pa.array(out["fingerprint"], pa.int64()),
+            }
+        ),
+        os.path.join(_DUMP_DIR, "oracle_profile.parquet"),
+    )
+    _CORPUS_CACHE["profile_dumped"] = sf_dir
+
+
 def _q_docs_sample_profile(sf_dir: str):
-    """O3 seeded sampling composed with language-ID + winnowing fingerprints
-    fused into one map pass (textstats.profile — both are per-row functions
-    of the same text, so no join and no driver-side merge at any scale).
-    One query, three operators (sample / langid / fingerprint) — all
-    rows-only (heuristic votes and rolling hashes have no faithful ANSI-SQL
-    equivalent)."""
+    """O3 sampling composed with language-ID + winnowing fingerprints fused
+    into one map pass (textstats.profile — both are per-row functions of the
+    same text, so no join and no driver-side merge at any scale). The sample
+    is a key-hash predicate (splitmix64(doc_id) % 10), not random_sample —
+    reproducible across block layouts and engines. SQL-checked against the
+    sequential stdlib-re scalar recompute (_profile_oracle_dump)."""
+    from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.textstats import profile
 
-    sample = _docs(sf_dir).random_sample(0.1, seed=42)
+    _profile_oracle_dump(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(_sample_keep(ids)))
+
+    sample = _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
     out = profile(sample).to_pandas().sort_values("doc_id")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return quantize_cols(
+        pa.Table.from_pandas(out, preserve_index=False), {"lang_conf": 6}
+    )
 
 
 def _q_events_sketches(sf_dir: str):
@@ -1102,6 +1233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "embed_clusters": _q_embed_clusters,
+        "knn_ivf": _q_knn_ivf,
+        "docs_sample_profile": _q_docs_sample_profile,
         "knn_brute": _q_knn_brute,
         "knn_batch": _q_knn_batch,
         # crawl/parse aggregations (SQL-checked against parquet dumps of the
@@ -1129,8 +1262,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verify_scores": _q_scores,
         # rows-only (no faithful ANSI-SQL equivalent)
         "events_sketches": _q_events_sketches,
-        "knn_ivf": _q_knn_ivf,
-        "docs_sample_profile": _q_docs_sample_profile,
         "url_canonicalize": _q_url_canonicalize,
         # multimodal actor-pool stages (synthetic corpus payloads)
         "image_pipeline": _q_image_pipeline,
@@ -1555,5 +1686,19 @@ def oracle_sql() -> dict[str, str]:
         "embed_clusters": f"""
             SELECT vec_id, cluster, cos_to_centroid
             FROM read_parquet('{_DUMP_DIR}/oracle_embed_clusters.parquet')
+        """,
+        # -- knn_ivf oracle: sequential IVF recompute (quantizer + probe +
+        # -- exact top-k, plain numpy in storage order — _ivf_oracle_dump)
+        "knn_ivf": f"""
+            SELECT vec_id, cos
+            FROM read_parquet('{_DUMP_DIR}/oracle_ivf.parquet')
+        """,
+        # -- sample-profile oracle: key-hash sample + stdlib-re scalar langid
+        # -- + shared rolling_fingerprint, one sequential loop
+        # -- (_profile_oracle_dump) vs the fused Arrow-RE2 batch pass
+        "docs_sample_profile": f"""
+            SELECT doc_id, lang_pred, round(lang_conf, 6) AS lang_conf,
+                   fingerprint
+            FROM read_parquet('{_DUMP_DIR}/oracle_profile.parquet')
         """,
     }

@@ -73,10 +73,30 @@ def brute_force_knn(embeds, queries: np.ndarray, k: int = 10, id_col: str = "vec
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
-def train_centroids(embeds, n_centroids: int = 16, iters: int = 5, sample: int = 4096, seed: int = 9) -> np.ndarray:
-    """Deterministic k-means-lite on a driver-side sample (small by design)."""
-    samp = embeds.limit(sample).select_columns(["embedding"]).take_all()
-    m = _normalize(np.array([r["embedding"] for r in samp], dtype=np.float64))
+def train_centroids(embeds, n_centroids: int = 16, iters: int = 5, sample: int = 4096,
+                    seed: int = 9, id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample (small by design).
+
+    The sample is the ``sample`` LOWEST ids — NOT ``Dataset.limit(sample)``,
+    whose row order follows streaming-executor block arrival and varies run
+    to run (measured: the same limit(4096) returned file order on one run and
+    a later block first on the next), which would make the trained centroids
+    — and every assignment downstream — nondeterministic. Per-batch partial
+    prune keeps ≤ sample rows per block; the driver merge is
+    sample × n_blocks at worst (a tree merge is the path if block counts ever
+    make that matter)."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows > sample:
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            t = t.take(np.argpartition(ids, sample - 1)[:sample])
+        return t.select([id_col, "embedding"])
+
+    parts = embeds.map_batches(prune, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r[id_col])
+    m = _normalize(
+        np.array([r["embedding"] for r in parts[:sample]], dtype=np.float64)
+    )
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(iters):
