@@ -1172,7 +1172,12 @@ def _q_accepted_pages(sf_dir: str):
 
 def _q_url_canonicalize(sf_dir: str):
     """Canonicalizer over synthetic URLs derived from documents (M1 north-rule
-    extension; pure-kernel check is in pytest — this exposes it as a query)."""
+    extension). SQL-checked: the template's canonical form is hand-derived
+    from RFC 3986 in the oracle SQL itself (scheme/host lowercase, default
+    port-80 drop, ``/a/../`` dot-segment resolution, percent-decode of the
+    unreserved ``%7E`` → ``~``, query sort, fragment drop) — an independent
+    expected-value oracle, not a kernel recompute. Adversarial-input kernel
+    coverage (ports, userinfo, unicode, idempotence) stays in pytest."""
     import ray.data as rd
 
     from rayfrontier.functions.urltools import canonicalize, host_of
@@ -1181,7 +1186,7 @@ def _q_url_canonicalize(sf_dir: str):
 
     def stage(t: pa.Table) -> pa.Table:
         urls = [
-            f"HTTP://{s.upper()}.Example.COM:80/a/../docs/{d}?b=2&a=1#frag"
+            f"HTTP://{s.upper()}.Example.COM:80/a/../docs/{d}?b=2&a=%7E1#frag"
             for s, d in zip(t["source"].to_pylist(), t["doc_id"].to_pylist())
         ]
         canon = [canonicalize(u) for u in urls]
@@ -1235,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_clusters": _q_embed_clusters,
         "knn_ivf": _q_knn_ivf,
         "docs_sample_profile": _q_docs_sample_profile,
+        "url_canonicalize": _q_url_canonicalize,
         "knn_brute": _q_knn_brute,
         "knn_batch": _q_knn_batch,
         # crawl/parse aggregations (SQL-checked against parquet dumps of the
@@ -1262,7 +1268,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verify_scores": _q_scores,
         # rows-only (no faithful ANSI-SQL equivalent)
         "events_sketches": _q_events_sketches,
-        "url_canonicalize": _q_url_canonicalize,
         # multimodal actor-pool stages (synthetic corpus payloads)
         "image_pipeline": _q_image_pipeline,
         "frame_sample": _q_frame_sample,
@@ -1700,5 +1705,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_pred, round(lang_conf, 6) AS lang_conf,
                    fingerprint
             FROM read_parquet('{_DUMP_DIR}/oracle_profile.parquet')
+        """,
+        # -- url_canonicalize oracle: the RFC-3986 canonical form of the
+        # -- query's URL template, hand-derived in SQL (lowercase scheme/host,
+        # -- port-80 drop, /a/../ resolution, %7E → ~, query sort, no
+        # -- fragment) — expected-value oracle, independent of the kernel
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'http://' || source || '.example.com/docs/' || doc_id
+                       || '?a=~1&b=2' AS canon_url,
+                   source || '.example.com' AS host
+            FROM documents
         """,
     }
