@@ -1005,25 +1005,171 @@ def _q_docs_ngram_pairs(sf_dir: str):
     return quantize_cols(t, {"jaccard": 6})
 
 
+def _oracle_fnv64(data: bytes) -> int:
+    """Inline FNV-1a 64 (public constants) — kept separate from
+    functions.hashing so the multimodal oracles share no code with the
+    pipeline they check."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _oracle_decode_px(data: bytes, fmt: str) -> np.ndarray:
+    """Inline decoders written from the format specs (P6 PPM; the qjpg
+    header layout documented in codecs.py) — independent of
+    rayfrontier.codecs."""
+    import struct
+
+    if fmt == "ppm":
+        head = data.split(b"\n", 3)
+        w, h = (int(x) for x in head[1].split())
+        return np.frombuffer(head[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    if fmt == "qjpg":
+        w, h, step = struct.unpack("<HHB", data[4:9])
+        codes = np.frombuffer(data, dtype=np.uint8, offset=9, count=w * h * 3)
+        return np.minimum(codes.astype(np.int64) * step, 255).astype(np.uint8).reshape(h, w, 3)
+    raise ValueError(f"oracle can't decode fmt={fmt!r}")
+
+
+def _corpus_pages_arrow() -> pa.Table:
+    """All corpus page rows, read with bare pyarrow (no Ray), sorted by
+    image_id — the sequential ground for the multimodal oracles."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    d = _corpus_dir()
+    files = sorted(_glob.glob(os.path.join(d, "pages", "*", "*.parquet")))
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["image_id", "bytes", "w", "h", "fmt"]) for f in files]
+    )
+    return t.sort_by("image_id")
+
+
+def _image_oracle_dump() -> None:
+    """Sequential recompute of the fused image-analysis outputs: per image,
+    decode (inline), exact integer-moment mean/std, nearest-neighbor 12x10
+    resize + inline-P6 re-encode + inline FNV digest, 8-bin per-channel
+    histogram features — no Ray, no rayfrontier.codecs/stages. Shares only
+    functions.rounding.quantize (both sides must round on the same DuckDB
+    lattice, by repo convention)."""
+    if _CORPUS_CACHE.get("image_dumped"):
+        return
+    import pyarrow.parquet as pq
+
+    from rayfrontier.functions.rounding import quantize
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    t = _corpus_pages_arrow()
+    out_w, out_h, bins, nfeat = 12, 10, 8, 24
+    means, stds, rhash, feats = [], [], [], []
+    for data, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        px = _oracle_decode_px(data, fmt)
+        n = px.size
+        s1 = int(px.astype(np.int64).sum())
+        s2 = int((px.astype(np.int64) ** 2).sum())
+        mean = s1 / n
+        means.append(mean)
+        stds.append(float(np.sqrt(max(s2 / n - mean * mean, 0.0))))
+        h, w = px.shape[:2]
+        yi = [min(i * h // out_h, h - 1) for i in range(out_h)]
+        xi = [min(j * w // out_w, w - 1) for j in range(out_w)]
+        small = px[np.asarray(yi)[:, None], np.asarray(xi)[None, :]]
+        raw = b"P6\n%d %d\n255\n" % (out_w, out_h) + small.tobytes()
+        rhash.append(np.int64(np.uint64(_oracle_fnv64(raw))).item())
+        v = np.concatenate(
+            [np.bincount(px[:, :, c].ravel() // 32, minlength=bins) for c in range(3)]
+        ).astype(np.float64)
+        feats.append(v / v.sum())
+    cols = {
+        "image_id": t["image_id"],
+        "w": t["w"],
+        "h": t["h"],
+        "fmt": t["fmt"],
+        "mean_px": pa.array(quantize(np.asarray(means), 4), pa.float64()),
+        "std_px": pa.array(quantize(np.asarray(stds), 4), pa.float64()),
+        "decode_ok": pa.array([True] * t.num_rows),
+        "resized_w": pa.array([out_w] * t.num_rows, pa.int32()),
+        "resized_h": pa.array([out_h] * t.num_rows, pa.int32()),
+        "resized_hash": pa.array(rhash, pa.int64()),
+    }
+    farr = quantize(np.asarray(feats), 6).reshape(-1, nfeat)
+    for j in range(nfeat):
+        cols[f"f{j:02d}"] = pa.array(farr[:, j], pa.float64())
+    pq.write_table(pa.table(cols), os.path.join(_DUMP_DIR, "oracle_images.parquet"))
+    _CORPUS_CACHE["image_dumped"] = True
+
+
+def _frames_oracle_dump() -> None:
+    """Expected frame-sample rows derived straight from the corpus parquet:
+    lowest-64 image_ids, groups of 4 per video, stride-2 frame indices, the
+    video fmt is frame 0's fmt, and each frame's payload IS the source image
+    bytes — so the expected digests need no pack/unpack at all. The engine
+    side must round-trip the container and explode rows to match."""
+    if _CORPUS_CACHE.get("frames_dumped"):
+        return
+    import pyarrow.parquet as pq
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    t = _corpus_pages_arrow().slice(0, 64)
+    payloads = t["bytes"].to_pylist()
+    fmts = t["fmt"].to_pylist()
+    chunk, stride = 4, 2
+    vids, idxs, ofmts, hashes = [], [], [], []
+    for v in range(len(payloads) // chunk):
+        for i in range(0, chunk, stride):
+            vids.append(f"vid{v:04d}")
+            idxs.append(i)
+            ofmts.append(fmts[v * chunk])
+            hashes.append(np.int64(np.uint64(_oracle_fnv64(payloads[v * chunk + i]))).item())
+    pq.write_table(
+        pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "fmt": pa.array(ofmts, pa.string()),
+                "frame_hash": pa.array(hashes, pa.int64()),
+            }
+        ),
+        os.path.join(_DUMP_DIR, "oracle_frames.parquet"),
+    )
+    _CORPUS_CACHE["frames_dumped"] = True
+
+
 def _q_image_pipeline(sf_dir: str):
     """The per-image analysis operators (decode-stats / resize / histogram
     features) as ONE fused actor-pool pass — a single decode per image
     (stages.multimodal.ImageAnalysisStage; decode dominates at 100 TB, so
     analysis passes that can share it must). Payloads reduced to digests
-    before the driver compare; fused ≡ chained stages is test-pinned."""
+    before the driver compare; fused ≡ chained stages is test-pinned.
+    SQL-checked against _image_oracle_dump — a sequential recompute with its
+    OWN inline decoders/encoder/hash written from the format specs (no
+    rayfrontier.codecs / stages / Ray). The 24 histogram features are
+    flattened to scalar f00..f23 columns so the driver's value-hash sees
+    them (list columns don't hash portably)."""
     from rayfrontier.functions.rounding import quantize, quantize_cols
     from rayfrontier.stages.multimodal import image_analysis
 
+    _image_oracle_dump()
     out = image_analysis(_pages_bytes_ds(), out_w=12, out_h=10, bins=8)
+    nfeat = 24  # 3 channels x 8 bins
 
     def q(t: pa.Table) -> pa.Table:
-        feats = [quantize(np.asarray(f), 6).tolist() for f in t["feature"].to_pylist()]
-        t = t.set_column(
-            t.schema.get_field_index("feature"),
-            "feature",
-            pa.array(feats, pa.list_(pa.float64())),
-        )
-        return quantize_cols(t, {"mean_px": 4, "std_px": 4})
+        cols = {
+            name: t[name]
+            for name in (
+                "image_id", "w", "h", "fmt", "mean_px", "std_px",
+                "decode_ok", "resized_w", "resized_h", "resized_hash",
+            )
+        }
+        feats = [
+            (list(f) + [0.0] * nfeat)[:nfeat] for f in t["feature"].to_pylist()
+        ]
+        arr = quantize(np.asarray(feats, dtype=np.float64).reshape(-1, nfeat), 6)
+        for j in range(nfeat):
+            cols[f"f{j:02d}"] = pa.array(arr[:, j], pa.float64())
+        return quantize_cols(pa.table(cols), {"mean_px": 4, "std_px": 4})
 
     df = out.map_batches(q, batch_format="pyarrow").to_pandas().sort_values("image_id")
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -1031,13 +1177,19 @@ def _q_image_pipeline(sf_dir: str):
 
 def _q_frame_sample(sf_dir: str):
     """Synthesize a small video table (4 frames per video, packed container)
-    from corpus images, then run the frame-sampler stage (flat-map explode)."""
+    from corpus images, then run the frame-sampler stage (flat-map explode).
+    The 64 source images are the LOWEST image_ids (sort → limit) — a bare
+    ``limit(64)`` depends on block arrival order and made the result vary
+    run to run. SQL-checked against _frames_oracle_dump, which derives the
+    expected frames straight from the corpus parquet (no Ray, no
+    pack/unpack — the container round-trip is exactly what's under test)."""
     import ray.data as rd
 
     from rayfrontier.functions.hashing import fnv1a64
     from rayfrontier.stages.multimodal import pack_video, sample_frames
 
-    src = _pages_bytes_ds().limit(64).to_pandas().sort_values("image_id")
+    _frames_oracle_dump()
+    src = _pages_bytes_ds().sort("image_id").limit(64).to_pandas().sort_values("image_id")
     rows = []
     chunk = 4
     recs = src.to_dict("records")
@@ -1266,11 +1418,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_elements": _q_elements,
         "parse_sentences": _q_sentences,
         "verify_scores": _q_scores,
-        # rows-only (no faithful ANSI-SQL equivalent)
-        "events_sketches": _q_events_sketches,
-        # multimodal actor-pool stages (synthetic corpus payloads)
+        # multimodal actor-pool stages — SQL-checked against sequential
+        # recomputes with inline decoders/hash (_image_oracle_dump /
+        # _frames_oracle_dump)
         "image_pipeline": _q_image_pipeline,
         "frame_sample": _q_frame_sample,
+        # rows-only (no faithful ANSI-SQL equivalent: sketch outputs are
+        # approximations with in-query exact-witness columns)
+        "events_sketches": _q_events_sketches,
     }
 
 
@@ -1716,5 +1871,13 @@ def oracle_sql() -> dict[str, str]:
                        || '?a=~1&b=2' AS canon_url,
                    source || '.example.com' AS host
             FROM documents
+        """,
+        # -- multimodal oracles: sequential recomputes with inline
+        # -- decoders/encoder/FNV (no Ray, no shared codec/stage code)
+        "image_pipeline": f"""
+            SELECT * FROM read_parquet('{_DUMP_DIR}/oracle_images.parquet')
+        """,
+        "frame_sample": f"""
+            SELECT * FROM read_parquet('{_DUMP_DIR}/oracle_frames.parquet')
         """,
     }
