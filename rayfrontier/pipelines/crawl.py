@@ -682,6 +682,10 @@ class CrawlEngine:
         self._ckpt_policy_delta: dict[int, str] = {}
         self._ckpt_rows_mark = 0
         self._ckpt_prefix_mark = 0
+        # bounded mode: count of row-spill rows already covered by committed
+        # checkpoint waves — rows flushed mid-replay (between commits) are
+        # read back from the mmap'd spill for the next wave's rows_delta
+        self._ckpt_spilled_rows_mark = 0
 
     # -- pure URL→image resolution ------------------------------------------
     def resolve(self, url: str) -> int | None:
@@ -792,9 +796,47 @@ class CrawlEngine:
             if rep.consumed:
                 self._dead_ids.extend(rep.consumed)
             self.prefix += 1
+            if track_dead:
+                self._inline_spill_step()
         else:
             self._blocked_iid = None
             self._suspended = None
+
+    def _inline_spill_step(self) -> None:
+        """Mid-replay bounded-state housekeeping (cfg.state_cap only).
+
+        The committed prefix typically advances in one long serial burst: a
+        politeness-delayed artifact keeps domain 0 blocked through every
+        fetch wave, then the final replay commits the whole suffix at once
+        (measured: prefix 0 → n_domains in a single ``_replay`` call at the
+        300k bench). Waiting for the end-of-wave ``_spill_step`` would hold
+        O(total) rows resident and keep every consumed artifact hot through
+        that burst — so flush in chunks as the prefix advances instead."""
+        cap = self.cfg.state_cap
+        chunk = max(cap // 4, 2048)
+        if len(self.crawl_rows) >= chunk:
+            self._note_hwm()  # record the pre-flush residency honestly
+            n_committed_flushed = self._ckpt_rows_mark
+            self._row_spill.append_rows(self.crawl_rows)
+            self.crawl_rows = []
+            self._ckpt_rows_mark = 0
+            self._ckpt_spilled_rows_mark += n_committed_flushed
+        if len(self._dead_ids) >= chunk and len(self.artifacts.hot) > cap:
+            self.artifacts.spill_dead(self._dead_ids)
+            self._dead_ids = []
+
+    def _note_hwm(self, pending_n: int | None = None) -> None:
+        """Driver-residency high-water marks (bounded-state evidence)."""
+        hwm = self.hwm
+        hot_n = (
+            len(self.artifacts.hot)
+            if isinstance(self.artifacts, _SpillBackedArtifacts)
+            else len(self.artifacts)
+        )
+        hwm["artifacts_resident"] = max(hwm["artifacts_resident"], hot_n)
+        hwm["rows_resident"] = max(hwm["rows_resident"], len(self.crawl_rows))
+        if pending_n is not None:
+            hwm["pending"] = max(hwm["pending"], pending_n)
 
     def _replay(self) -> dict[str, tuple]:
         """Advance the committed prefix; return pending {image_id: priority}."""
@@ -1166,12 +1208,27 @@ class CrawlEngine:
         # link/policy/rows state every wave is O(total) per wave — O(n²)
         # checkpoint bytes over a crawl. Resume folds the deltas in order.
         committed_domains = self.domains[self._ckpt_prefix_mark : self.prefix]
+        # bounded mode may have streamed this wave's rows to the mmap'd row
+        # spill mid-replay (_inline_spill_step); read the uncommitted suffix
+        # back for the delta so no checkpoint window ever drops rows
+        spilled_delta: list[tuple] = []
+        if self._row_spill is not None and self._row_spill.n_rows > self._ckpt_spilled_rows_mark:
+            skip = self._ckpt_spilled_rows_mark
+            for t in self._row_spill.tables():
+                if skip >= t.num_rows:
+                    skip -= t.num_rows
+                    continue
+                part = t.slice(skip) if skip else t
+                skip = 0
+                spilled_delta.extend(
+                    zip(*(part.column(c).to_pylist() for c in part.column_names))
+                )
         state = {
             "prefix": self.prefix,
             "seq": self.seq,
             "link_delta": self._ckpt_link_delta,
             "policy_delta": self._ckpt_policy_delta,
-            "rows_delta": self.crawl_rows[self._ckpt_rows_mark :],
+            "rows_delta": spilled_delta + self.crawl_rows[self._ckpt_rows_mark :],
             "domain_delta": {
                 d: (self.domain_status.get(d, ""), self.domain_sim_avg.get(d, 0.0))
                 for d in committed_domains
@@ -1206,6 +1263,8 @@ class CrawlEngine:
         self._ckpt_policy_delta = {}
         self._ckpt_rows_mark = len(self.crawl_rows)
         self._ckpt_prefix_mark = self.prefix
+        if self._row_spill is not None:
+            self._ckpt_spilled_rows_mark = self._row_spill.n_rows
 
     def _spill_step(self) -> None:
         """End-of-wave bounded-state housekeeping (no-op unless cfg.state_cap):
@@ -1216,9 +1275,14 @@ class CrawlEngine:
         if not self.cfg.state_cap:
             return
         if self.crawl_rows:
+            # rows[0:_ckpt_rows_mark] are checkpoint-committed; advance the
+            # covered-spilled-rows mark by exactly those (the final-break
+            # call flushes an uncommitted suffix that must stay uncovered)
+            n_committed_flushed = self._ckpt_rows_mark
             self._row_spill.append_rows(self.crawl_rows)
             self.crawl_rows = []
             self._ckpt_rows_mark = 0
+            self._ckpt_spilled_rows_mark += n_committed_flushed
         self.metrics_rows.clear()  # the checkpoint holds the lineage durably
         if self._dead_ids and len(self.artifacts.hot) > self.cfg.state_cap:
             self.artifacts.spill_dead(self._dead_ids)
@@ -1259,6 +1323,9 @@ class CrawlEngine:
             self.seq = state["seq"]
         self._ckpt_rows_mark = len(self.crawl_rows)
         self._ckpt_prefix_mark = self.prefix
+        if self._row_spill is not None:
+            # resumed rows came FROM committed checkpoints — cover them
+            self._ckpt_spilled_rows_mark = self._row_spill.n_rows
         for w in sorted(waves):
             try:
                 t = self.ckpt.read_table(w, "artifacts")
@@ -1317,6 +1384,9 @@ class CrawlEngine:
             t0 = time.time()
             pending = self._replay()
             if self.prefix >= len(self.domains) and not pending:
+                # the final replay commits the whole remaining suffix in one
+                # serial burst — sample residency before flushing it out
+                self._note_hwm(len(pending))
                 self._spill_step()  # flush the final replay's rows out too
                 break
             if max_waves is not None and wave - start_wave >= max_waves:
@@ -1375,15 +1445,7 @@ class CrawlEngine:
                 stats["frontier_evicted"] = pending.dropped
             self._commit_wave(wave, stats)
             self._wave_delta = []
-            hwm = self.hwm
-            hot_n = (
-                len(self.artifacts.hot)
-                if isinstance(self.artifacts, _SpillBackedArtifacts)
-                else len(self.artifacts)
-            )
-            hwm["artifacts_resident"] = max(hwm["artifacts_resident"], hot_n)
-            hwm["rows_resident"] = max(hwm["rows_resident"], len(self.crawl_rows))
-            hwm["pending"] = max(hwm["pending"], len(pending))
+            self._note_hwm(len(pending))
             self._spill_step()
             if n_new == 0 and not admitted and self.prefix < len(self.domains):
                 raise RuntimeError("crawl stalled: pending URLs but nothing admitted")
