@@ -316,8 +316,16 @@ def rss_probe(mode: str) -> None:
              ignore_reinit_error=True, logging_level="ERROR")
     ensure_corpus()
     dcfg, ccfg = _bench_cfgs()
+    # scale-model admission: at the 10^10 target the per-wave admission cap is
+    # a tiny fraction of the frontier, so domains interleave and the committed
+    # prefix advances throughout the crawl (artifacts die progressively). The
+    # throughput bench's wave_url_cap=1M admits everything at once — override
+    # it here (BOTH modes, apples-to-apples) so the probe measures the memory
+    # contract in the regime it is designed for.
+    wave_cap = int(os.environ.get("GRAFT_RSS_WAVE_CAP", "10000"))
+    ccfg = replace(ccfg, wave_url_cap=wave_cap)
     if mode == "bounded":
-        ccfg = replace(ccfg, state_cap=int(os.environ.get("GRAFT_STATE_CAP", "50000")))
+        ccfg = replace(ccfg, state_cap=int(os.environ.get("GRAFT_STATE_CAP", "4000")))
     _warm_workers()
     base_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     t0 = time.time()

@@ -813,7 +813,9 @@ class CrawlEngine:
         O(total) rows resident and keep every consumed artifact hot through
         that burst — so flush in chunks as the prefix advances instead."""
         cap = self.cfg.state_cap
-        chunk = max(cap // 4, 2048)
+        # floor of min(2048, cap): bench-scale caps flush in 2048-row chunks,
+        # while the tiny caps in tests still exercise this path every few rows
+        chunk = max(cap // 4, min(2048, cap))
         if len(self.crawl_rows) >= chunk:
             self._note_hwm()  # record the pre-flush residency honestly
             n_committed_flushed = self._ckpt_rows_mark
