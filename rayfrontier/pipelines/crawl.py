@@ -735,14 +735,15 @@ class CrawlEngine:
     def _advance_committed(self, pending: dict[str, tuple] | None) -> None:
         """Advance the committed prefix as far as the artifact cache allows.
 
-        Called from two places: the top of every wave's ``_replay`` (with the
-        wave's pending dict, so the blocked domain registers its wants), and
-        from ``_fetch``'s streaming-ingest loop (``pending=None``) — the
-        committed pass is a pure function of the artifact cache, so it can run
-        in the driver's otherwise-idle ``ray.wait`` gaps while the cluster
-        decodes, instead of serializing after the wave. ``_blocked_iid`` gates
-        the fetch-time attempts: re-walking the blocked domain is only useful
-        once the artifact it waits on has actually arrived.
+        Called from the top of every wave's ``_replay`` with the wave's
+        pending dict, so the blocked domain registers its wants. The
+        ``pending=None`` form (wants suppressed; ``_blocked_iid`` gates
+        useless re-walks) exists for fetch-time advancement in the driver's
+        ``ray.wait`` gaps — currently NOT wired into ``_fetch``: on an
+        N-core box with N task slots the driver's "idle" wait is capacity
+        the decode workers use, and burning it on replay measurably slowed
+        the crawl (see the NOTE in ``_fetch``). Kept because a cluster with
+        a dedicated driver core would want it back.
         """
         if (
             pending is None

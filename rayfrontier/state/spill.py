@@ -67,20 +67,24 @@ class ArtifactSpill:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._files: list[tuple[np.ndarray, pa.Table]] = []  # (sorted ids, table)
-        # membership is a plain int set: the tentative replay probes artifact
-        # presence once per URL per wave (millions of scalar calls at bench
-        # scale) — a per-call np.searchsorted costs ~2 µs vs ~50 ns here and
-        # measurably doubled the bounded-mode crawl wall time at 3M images.
-        # ~28 B/id of driver memory; at 10^10 this index range-shards with the
-        # replay actors exactly like the link_dict (SURVEY §8).
-        self._id_set: set[int] = set()
+        # membership + location in ONE plain dict (id → newest file index):
+        # the tentative replay probes artifact presence once per URL per wave
+        # (millions of scalar calls at bench scale) — a per-call
+        # np.searchsorted costs ~2 µs vs ~50 ns for a dict hit and measurably
+        # doubled the bounded-mode crawl wall time at 3M images. Mapping to
+        # the owning file also makes read-back O(1) files instead of a
+        # newest-first scan over every spill event (steady-state flushing
+        # writes a file every ~2k rows — the scan is O(waves) at 10^10).
+        # ~60 B/id of driver memory; at 10^10 this index range-shards with
+        # the replay actors exactly like the link_dict (SURVEY §8).
+        self._id_loc: dict[int, int] = {}
         self._n_events = 0
 
     def __len__(self) -> int:
-        return len(self._id_set)
+        return len(self._id_loc)
 
     def contains_int(self, iid_int: int) -> bool:
-        return iid_int in self._id_set
+        return iid_int in self._id_loc
 
     def spill(self, ids_int: np.ndarray, table: pa.Table) -> str:
         """Write one spill event (rows of ``table`` keyed by ``ids_int``,
@@ -93,24 +97,30 @@ class ArtifactSpill:
         os.replace(path + ".tmp", path)
         mm = feather.read_table(path, memory_map=True)
         ids_view = col_np(mm, "id")
+        fidx = len(self._files)
         self._files.append((ids_view, mm))
-        self._id_set.update(ids_view.tolist())
+        # newest spill wins: a re-spilled id repoints to its newest file
+        self._id_loc.update((int(i), fidx) for i in ids_view.tolist())
         return path
 
     def get_row(self, iid_int: int):
         """Return the newest spilled row for id as a dict of python values,
-        or None. Newest-first so re-spilled entries shadow older ones."""
-        for ids, table in reversed(self._files):
-            p = int(np.searchsorted(ids, iid_int))
-            if p < ids.size and int(ids[p]) == iid_int:
-                row = table.slice(p, 1)
-                return {
-                    "ok": row["ok"][0].as_py(),
-                    "text_hash": int(row["text_hash"][0].as_py()) & 0xFFFFFFFFFFFFFFFF,
-                    "sim": row["sim"][0].as_py(),
-                    "hrefs": tuple(row["hrefs"][0].as_py()),
-                }
-        return None
+        or None. The id→file index always points at the newest spill event
+        holding the id, so a lookup touches exactly one file."""
+        fidx = self._id_loc.get(iid_int)
+        if fidx is None:
+            return None
+        ids, table = self._files[fidx]
+        p = int(np.searchsorted(ids, iid_int))
+        if p < ids.size and int(ids[p]) == iid_int:
+            row = table.slice(p, 1)
+            return {
+                "ok": row["ok"][0].as_py(),
+                "text_hash": int(row["text_hash"][0].as_py()) & 0xFFFFFFFFFFFFFFFF,
+                "sim": row["sim"][0].as_py(),
+                "hrefs": tuple(row["hrefs"][0].as_py()),
+            }
+        return None  # pragma: no cover — index/file mismatch
 
     def tables(self) -> list[pa.Table]:
         return [t for _ids, t in self._files]

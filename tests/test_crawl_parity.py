@@ -307,6 +307,45 @@ def test_bounded_state_distributed_replay(ray_session, corpus, small_cfg, tmp_pa
     eng.shutdown()
 
 
+def test_artifact_spill_roundtrip_and_shadowing(tmp_path):
+    """ArtifactSpill read-back is keyed by an id→newest-file index: values
+    round-trip exactly (incl. uint64 text_hash two's-complement), a re-spill
+    of the same id shadows the older row, and absent ids miss cleanly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayfrontier.state.spill import ArtifactSpill
+
+    sp = ArtifactSpill(str(tmp_path / "art"))
+    big_hash = (1 << 63) + 12345  # exercises the signed round-trip
+
+    def tbl(ids, sims, h=big_hash):
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "ok": pa.array([True] * len(ids)),
+                "text_hash": pa.array(
+                    [h - (1 << 64) if h >= 1 << 63 else h] * len(ids), pa.int64()
+                ),
+                "sim": pa.array(sims, pa.float64()),
+                "hrefs": pa.array([["u1", "u2"]] * len(ids), pa.list_(pa.string())),
+            }
+        )
+
+    sp.spill(np.array([3, 7, 11]), tbl([3, 7, 11], [0.1, 0.2, 0.3]))
+    sp.spill(np.array([5, 20]), tbl([5, 20], [0.4, 0.5]))
+    assert len(sp) == 5
+    assert sp.contains_int(7) and not sp.contains_int(8)
+    row = sp.get_row(7)
+    assert row == {"ok": True, "text_hash": big_hash, "sim": 0.2, "hrefs": ("u1", "u2")}
+    assert sp.get_row(8) is None
+    # newest spill event shadows: re-spill id 7 with a different sim
+    sp.spill(np.array([7]), tbl([7], [0.9]))
+    assert len(sp) == 5  # re-spilled id counted once
+    assert sp.get_row(7)["sim"] == 0.9
+    assert sp.get_row(3)["sim"] == 0.1  # untouched ids still resolve
+
+
 def test_bounded_pending_protects_committed_prefix():
     """Compaction never evicts wants at/under the protect rank, always keeps
     the best-priority tail, and counts what it dropped."""
