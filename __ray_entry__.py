@@ -1432,7 +1432,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _EN_STOP_SQL = "the|and|of|to|a|in|is|that|for|it"
 
 
+def _ensure_oracle_dumps(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Best-effort pre-generation of every /tmp oracle dump the SQL below
+    reads. The dumps are normally produced at the top of each query callable
+    (cached per sf_dir), but that makes the SQL order-dependent: a harness
+    that evaluates oracle_sql() strings BEFORE running the matching Ray query
+    would hit missing parquet files. The generators are idempotent and
+    cached (most are pure Python/numpy; _parity_dumps runs the engine once
+    on the tiny parity corpus — the driver always has Ray initialised by the
+    time it touches this module), so this is a cheap no-op on the second
+    caller whichever side runs first."""
+    try:
+        _oracle_replay_dumps()
+        _parity_dumps()
+        _sequential_parse_dumps()
+        _image_oracle_dump()
+        _frames_oracle_dump()
+        if os.path.isdir(sf_dir):
+            _simhash_oracle_dump(sf_dir)
+            _embed_oracle_dump(sf_dir)
+            _ivf_oracle_dump(sf_dir)
+            _embed_clusters_oracle_dump(sf_dir)
+            _profile_oracle_dump(sf_dir)
+    except Exception:  # noqa: BLE001 — the gate must still see the SQL strings
+        pass
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_oracle_dumps()
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

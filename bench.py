@@ -148,9 +148,16 @@ def run_query_bench() -> dict:
         "event_hopping",
         "customer_running_total",
     ):
-        t0 = time.time()
-        qs[name](SF_DIR)
-        out[name] = round(time.time() - t0, 3)
+        # best-of-2 per query, matching the crawl section: a single draw on
+        # this co-tenant box swings ±30-75% (measured: order_lineitem_join
+        # 4.9 s vs 8.6 s across same-day runs) and reads as a regression
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](SF_DIR)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
