@@ -288,6 +288,11 @@ def test_fixed_width_fnv_matches_scalar():
     for s, h in zip(ids, vec):
         assert int(h) == hash_text(s)
     assert fnv1a64_fixed_width([]).size == 0
+    # mixed widths (image_id digit counts outgrow the zero-pad at >=1e8 ids)
+    # must take the scalar fallback, not reshape-crash or hash garbage
+    mixed = ids + ["img123456789"]
+    for s, h in zip(mixed, fnv1a64_fixed_width(mixed)):
+        assert int(h) == hash_text(s), repr(s)
 
 
 def test_variable_width_fnv_matches_scalar():
