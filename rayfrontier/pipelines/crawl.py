@@ -1215,17 +1215,10 @@ class CrawlEngine:
         # spill mid-replay (_inline_spill_step); read the uncommitted suffix
         # back for the delta so no checkpoint window ever drops rows
         spilled_delta: list[tuple] = []
-        if self._row_spill is not None and self._row_spill.n_rows > self._ckpt_spilled_rows_mark:
-            skip = self._ckpt_spilled_rows_mark
-            for t in self._row_spill.tables():
-                if skip >= t.num_rows:
-                    skip -= t.num_rows
-                    continue
-                part = t.slice(skip) if skip else t
-                skip = 0
-                spilled_delta.extend(
-                    zip(*(part.column(c).to_pylist() for c in part.column_names))
-                )
+        if self._row_spill is not None:
+            # opens only the spill files holding the uncovered suffix
+            # (cumulative-count bisect) — not every file written so far
+            spilled_delta = self._row_spill.rows_from(self._ckpt_spilled_rows_mark)
         state = {
             "prefix": self.prefix,
             "seq": self.seq,

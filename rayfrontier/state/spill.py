@@ -133,7 +133,27 @@ class RowSpill:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._paths: list[str] = []
+        self._cum: list[int] = []  # cumulative row count AFTER each file
         self.n_rows = 0
+
+    def rows_from(self, start_row: int) -> list[tuple]:
+        """Rows [start_row:] as python tuples, opening only the files that
+        hold them (bisect on the cumulative counts) — a per-wave checkpoint
+        delta reads the new suffix without touching the O(waves) older files."""
+        import bisect
+
+        out: list[tuple] = []
+        if start_row >= self.n_rows:
+            return out
+        i = bisect.bisect_right(self._cum, start_row)
+        skip = start_row - (self._cum[i - 1] if i else 0)
+        for p in self._paths[i:]:
+            t = feather.read_table(p, memory_map=True)
+            if skip:
+                t = t.slice(skip)
+                skip = 0
+            out.extend(zip(*(t.column(c).to_pylist() for c in t.column_names)))
+        return out
 
     def append_rows(self, rows: list[tuple]) -> None:
         if not rows:
@@ -154,6 +174,7 @@ class RowSpill:
         os.replace(path + ".tmp", path)
         self._paths.append(path)
         self.n_rows += len(rows)
+        self._cum.append(self.n_rows)
 
     def tables(self) -> list[pa.Table]:
         return [feather.read_table(p, memory_map=True) for p in self._paths]
