@@ -936,41 +936,47 @@ def _q_docs_sample_profile(sf_dir: str):
 
 
 def _q_events_sketches(sf_dir: str):
-    """The mergeable-sketch suite over events in one query (rows-only —
-    estimates can't value-hash-match exact SQL): HLL approx-distinct users,
-    Count-Min top-3 event types, KLL p50/p90/p99 of value. Each row reports
-    (sketch, metric, approx, exact, rel_err_pct) so the driver run itself
-    witnesses the error bounds."""
+    """The mergeable-sketch suite over events in one query, SQL-checked via
+    the witness pattern: each row carries the EXACT value (recomputed
+    independently by the DuckDB oracle — distinct count / group counts /
+    quantile_cont, which matches np.quantile's linear interpolation bit-for-
+    bit at the 6-decimal lattice) plus ``within_tol``, computed on the Ray
+    side from the sketch estimate. The oracle asserts within_tol = true, so
+    a sketch drifting past its bound turns the row red. Tolerances carry
+    ≥2× margin over the measured deterministic errors at sf0.01 (HLL 1.33%
+    → 5%, CMS 0% → 1%, KLL ≤0.73% → 3%); the estimates themselves are
+    deterministic (fixed hashes, merge via max/sum; two fresh-session runs
+    bit-equal). Sketches: HLL approx-distinct users, Count-Min top-3 event
+    types, KLL p50/p90/p99 of value."""
     from rayfrontier.functions.blocks import read_parquet_bare
     from rayfrontier.functions.sketches import approx_distinct, approx_quantiles, heavy_hitters
 
     users = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(users, "user_id")
     exact = len(users.unique("user_id"))
-    rows = [("hll", "distinct_users", float(round(est)), float(exact))]
+    rows = [("hll", "distinct_users", float(round(est)), float(exact), 5.0)]
 
     types = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["event_type"])
     exact_counts = types.to_pandas()["event_type"].value_counts()
     for val, approx_n in heavy_hitters(types, "event_type", k=3):
-        rows.append(("cms", f"top_type:{val}", float(approx_n), float(exact_counts[val])))
+        rows.append(("cms", f"top_type:{val}", float(approx_n), float(exact_counts[val]), 1.0))
 
     values = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["value"])
     import numpy as np_
 
     vals = values.to_pandas()["value"].to_numpy()
     for q, a in zip((0.5, 0.9, 0.99), approx_quantiles(values, "value", [0.5, 0.9, 0.99])):
-        rows.append(("kll", f"p{int(q * 100)}_value", float(a), float(np_.quantile(vals, q))))
+        rows.append(("kll", f"p{int(q * 100)}_value", float(a), float(np_.quantile(vals, q)), 3.0))
 
     return pa.table(
         {
             "sketch": pa.array([r[0] for r in rows], pa.string()),
             "metric": pa.array([r[1] for r in rows], pa.string()),
-            "approx": pa.array([r[2] for r in rows], pa.float64()),
-            "exact": pa.array([r[3] for r in rows], pa.float64()),
-            "rel_err_pct": pa.array(
-                [round(abs(r[2] - r[3]) / max(abs(r[3]), 1e-9) * 100, 3) for r in rows],
-                pa.float64(),
+            "exact_value": pa.array([round(r[3], 6) for r in rows], pa.float64()),
+            "within_tol": pa.array(
+                [abs(r[2] - r[3]) / max(abs(r[3]), 1e-9) * 100 <= r[4] for r in rows]
             ),
+            "tol_pct": pa.array([r[4] for r in rows], pa.float64()),
         }
     )
 
@@ -1828,6 +1834,37 @@ def oracle_sql() -> dict[str, str]:
         "verify_scores": f"""
             SELECT doc_id, round(sim, 6) AS sim, english, dup, borderline
             FROM read_parquet('{_DUMP_DIR}/oracle_scores.parquet')
+        """,
+        # -- events_sketches oracle (witness pattern): the exact_value column
+        # -- is recomputed in pure SQL (distinct count / top-3 group counts /
+        # -- quantile_cont == np.quantile linear interpolation at the 6-dec
+        # -- lattice); within_tol is asserted true — if a sketch estimate on
+        # -- the Ray side drifts past its bound the hash compare goes red
+        "events_sketches": """
+            WITH ex AS (
+              SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS du,
+                     round(quantile_cont(value, 0.5), 6)  AS p50,
+                     round(quantile_cont(value, 0.9), 6)  AS p90,
+                     round(quantile_cont(value, 0.99), 6) AS p99
+              FROM events
+            )
+            SELECT 'hll' AS sketch, 'distinct_users' AS metric,
+                   du AS exact_value, true AS within_tol, 5.0 AS tol_pct
+            FROM ex
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'cms' AS sketch, 'top_type:' || event_type AS metric,
+                     CAST(count(*) AS DOUBLE) AS exact_value,
+                     true AS within_tol, 1.0 AS tol_pct
+              FROM events GROUP BY event_type
+              ORDER BY count(*) DESC, event_type LIMIT 3
+            )
+            UNION ALL
+            SELECT 'kll', 'p50_value', p50, true, 3.0 FROM ex
+            UNION ALL
+            SELECT 'kll', 'p90_value', p90, true, 3.0 FROM ex
+            UNION ALL
+            SELECT 'kll', 'p99_value', p99, true, 3.0 FROM ex
         """,
         # -- embed_dups oracle: brute-force O(n²) exact cosine over the
         # -- planted table (_embed_oracle_dump) — independent discovery vs

@@ -119,6 +119,7 @@ def run_crawl_bench() -> dict:
         "urls": n_urls,
         "pages_fetched": eng.n_fetched,
         "urls_per_sec": n_urls / sec,
+        "phase_secs": {k: round(v, 3) for k, v in eng.phase_secs.items()},
     }
 
 

@@ -637,6 +637,15 @@ class CrawlEngine:
         self.invariant_failures = 0
         # driver-residency high-water marks (bounded-state evidence; cheap)
         self.hwm = {"artifacts_resident": 0, "rows_resident": 0, "pending": 0}
+        # cumulative wall seconds per wave phase (scaling-diagnosis surface):
+        # replay = driver-serial control, admit = frontier sort + politeness
+        # RPCs, fetch = cluster decode + streaming ingest, commit = checkpoint
+        self.phase_secs = {
+            "replay": 0.0, "admit": 0.0, "fetch": 0.0, "commit": 0.0,
+            # driver-side columnar ingest inside the fetch loop (overlaps the
+            # cluster's decode; shows whether the driver is the fetch bound)
+            "ingest": 0.0,
+        }
 
         self.ckpt = CheckpointDir(checkpoint_dir) if checkpoint_dir else None
 
@@ -1139,7 +1148,9 @@ class CrawlEngine:
             done, futs = ray.wait(futs, num_returns=1)
             table = ray.get(done[0])
             if table.num_rows:
+                ti = time.time()
                 n_new += self._ingest_block(table, wave, record_ckpt)
+                self.phase_secs["ingest"] += time.time() - ti
         return n_new
 
     def _ingest_block(self, table: pa.Table, wave: int, record_ckpt: bool) -> int:
@@ -1379,6 +1390,7 @@ class CrawlEngine:
         while True:
             t0 = time.time()
             pending = self._replay()
+            self.phase_secs["replay"] += time.time() - t0
             if self.prefix >= len(self.domains) and not pending:
                 # the final replay commits the whole remaining suffix in one
                 # serial burst — sample residency before flushing it out
@@ -1387,6 +1399,7 @@ class CrawlEngine:
                 break
             if max_waves is not None and wave - start_wave >= max_waves:
                 break
+            t_admit = time.time()
             # frontier: priority sort + wave cap
             ranked = sorted(pending.items(), key=lambda kv: kv[1])
             order = ranked[: self.cfg.wave_url_cap]
@@ -1429,7 +1442,10 @@ class CrawlEngine:
                         {"wave": wave, "host": h, "requested": len(by_host[h]), "granted": int(g)}
                     )
             ray.get([p.refill.remote() for p in pol])
+            self.phase_secs["admit"] += time.time() - t_admit
+            t_fetch = time.time()
             n_new = self._fetch(admitted, wave) if admitted else 0
+            self.phase_secs["fetch"] += time.time() - t_fetch
             stats = {
                 "pending": len(pending),
                 "admitted": len(admitted),
@@ -1439,7 +1455,9 @@ class CrawlEngine:
             }
             if getattr(pending, "dropped", 0):
                 stats["frontier_evicted"] = pending.dropped
+            t_commit = time.time()
             self._commit_wave(wave, stats)
+            self.phase_secs["commit"] += time.time() - t_commit
             self._wave_delta = []
             self._note_hwm(len(pending))
             self._spill_step()
