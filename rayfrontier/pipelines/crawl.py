@@ -637,6 +637,7 @@ class CrawlEngine:
         self.invariant_failures = 0
         # driver-residency high-water marks (bounded-state evidence; cheap)
         self.hwm = {"artifacts_resident": 0, "rows_resident": 0, "pending": 0}
+        self._wave_delta: list[dict] = []  # artifact ckpt delta; cleared on commit
         # cumulative wall seconds per wave phase (scaling-diagnosis surface):
         # replay = driver-serial control, admit = frontier sort + politeness
         # RPCs, fetch = cluster decode + streaming ingest, commit = checkpoint
@@ -1136,7 +1137,11 @@ class CrawlEngine:
         # cluster's decode work instead of serializing after an all-at-once
         # ray.get barrier (measured ~3.4 s/run of serial tail at bench scale)
         n_new = 0
-        self._wave_delta = []
+        # APPEND to self._wave_delta (the artifact checkpoint-delta buffer) —
+        # never reset it here: it is cleared only after a successful
+        # _commit_wave, so a failed commit's window rides along with the next
+        # wave's commit instead of silently vanishing from every later resume
+        # (same retention contract as the link/policy/row deltas)
         record_ckpt = self.ckpt is not None  # skip delta-row dicts otherwise
         # NOTE: advancing the committed replay inside this loop (driver work
         # in the ray.wait gaps) was tried and is net-NEGATIVE: with

@@ -307,6 +307,53 @@ def test_bounded_state_distributed_replay(ray_session, corpus, small_cfg, tmp_pa
     eng.shutdown()
 
 
+def test_failed_commit_keeps_deltas_buffered(ray_session, corpus, small_cfg, tmp_path):
+    """A commit_wave failure must NOT clear the delta buffers: if the caller
+    survives and the next wave commits, that window's link/row deltas ride
+    along and a later resume sees the complete state (the silent-corruption
+    scenario: deltas cleared before the manifest append succeeds)."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(wave_url_cap=20)
+    ck = str(tmp_path / "ckpt")
+    e1 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+
+    real_commit = e1.ckpt.commit_wave
+    fails = {"left": 1}
+
+    def flaky_commit(wave, stats):
+        if fails["left"]:
+            fails["left"] -= 1
+            raise OSError("injected: manifest append failed")
+        return real_commit(wave, stats)
+
+    e1.ckpt.commit_wave = flaky_commit
+    # drive waves manually: the first _commit_wave raises; a caller that
+    # continues must not lose the window when the next commit succeeds
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        e1.run(max_waves=1)
+    # wave 0 fetched the seeds — the artifact delta must survive the failure
+    # (link/row deltas can be legitimately empty before any domain commits)
+    assert e1._wave_delta, "failed commit must leave the artifact delta buffered"
+    e1.run(max_waves=2)  # wave 2 commits; its delta includes wave 1's window
+    fetched_before = set(e1.fetched_ids)
+    e1.shutdown()
+
+    e2 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e2.run(resume=True)
+    # the failed window's artifacts rode the recovered commit: zero re-fetch
+    assert fetched_before.isdisjoint(e2.fetched_ids)
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    assert [tuple(r) for r in e2.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    assert e2.link_dict == oracle.url_seen
+    e2.shutdown()
+
+
 def test_artifact_spill_roundtrip_and_shadowing(tmp_path):
     """ArtifactSpill read-back is keyed by an id→newest-file index: values
     round-trip exactly (incl. uint64 text_hash two's-complement), a re-spill
