@@ -1365,7 +1365,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     SQL-checked-first; the round-1 orphans — verify_scores, sentence/list
     stats, sampling — are inside the cap now, with the multimodal and
     langid/fingerprint stages consolidated into composite queries)."""
+    from rayfrontier.functions.groupagg import mute_empty_schema_warnings
     from rayfrontier.pipelines import relational as R
+
+    # cosmetic "(empty) schema" bundles from native groupby aggregates under
+    # low-cardinality keys; semantically fine, filtered at the module logger
+    mute_empty_schema_warnings()
 
     return {
         # relational operator families (SQL-checked)

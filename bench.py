@@ -178,6 +178,9 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
 
+    from rayfrontier.functions.groupagg import mute_empty_schema_warnings
+
+    mute_empty_schema_warnings()  # native groupby().aggregate() paths too
     DataContext.get_current().enable_progress_bars = False
 
     ensure_corpus()

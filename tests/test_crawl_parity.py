@@ -393,6 +393,24 @@ def test_artifact_spill_roundtrip_and_shadowing(tmp_path):
     assert sp.get_row(3)["sim"] == 0.1  # untouched ids still resolve
 
 
+def test_row_spill_rows_from(tmp_path):
+    """rows_from(start) returns exactly the suffix across file boundaries
+    (bisect on cumulative counts) without touching earlier files."""
+    from rayfrontier.state.spill import RowSpill
+
+    sp = RowSpill(str(tmp_path / "rows"))
+    mk = lambda i: ("d", f"u{i}", 0.5, True, True, False, i)
+    sp.append_rows([mk(0), mk(1), mk(2)])
+    sp.append_rows([mk(3)])
+    sp.append_rows([mk(4), mk(5)])
+    assert sp.rows_from(0) == [mk(i) for i in range(6)]
+    assert sp.rows_from(2) == [mk(i) for i in range(2, 6)]
+    assert sp.rows_from(3) == [mk(i) for i in range(3, 6)]  # exact file edge
+    assert sp.rows_from(5) == [mk(5)]
+    assert sp.rows_from(6) == []
+    assert sp.rows_from(99) == []
+
+
 def test_bounded_pending_protects_committed_prefix():
     """Compaction never evicts wants at/under the protect rank, always keeps
     the best-priority tail, and counts what it dropped."""
