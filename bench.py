@@ -199,6 +199,7 @@ def main() -> None:
         "frontier_urls_per_sec": round(crawl["urls_per_sec"], 2),
         "pages_fetched": crawl["pages_fetched"],
         "crawl_urls": crawl["urls"],
+        "crawl_phase_secs": crawl["phase_secs"],
     }
     print(json.dumps(result))
     ray.shutdown()
