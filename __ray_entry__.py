@@ -968,11 +968,14 @@ def _q_events_sketches(sf_dir: str):
     for q, a in zip((0.5, 0.9, 0.99), approx_quantiles(values, "value", [0.5, 0.9, 0.99])):
         rows.append(("kll", f"p{int(q * 100)}_value", float(a), float(np_.quantile(vals, q)), 3.0))
 
+    from rayfrontier.functions.rounding import quantize
+
     return pa.table(
         {
             "sketch": pa.array([r[0] for r in rows], pa.string()),
             "metric": pa.array([r[1] for r in rows], pa.string()),
-            "exact_value": pa.array([round(r[3], 6) for r in rows], pa.float64()),
+            # DuckDB round lattice, matching the oracle's round(x, 6)
+            "exact_value": pa.array(quantize([r[3] for r in rows], 6), pa.float64()),
             "within_tol": pa.array(
                 [abs(r[2] - r[3]) / max(abs(r[3]), 1e-9) * 100 <= r[4] for r in rows]
             ),
