@@ -184,10 +184,20 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     ensure_corpus()
+    try:  # co-tenant evidence: load ≳3 measurably slows every draw (see
+        with open("/proc/loadavg") as fp:  # BASELINE.md noise notes)
+            loadavg = [float(x) for x in fp.read().split()[:3]]
+    except OSError:
+        loadavg = None
     # best-of-2, like --scaling: single-machine draws vary ±25-30% (page
     # cache, plasma reuse, co-tenant noise) — one draw under-reports the
     # engine (the r02 recorded headline was a slow-edge single draw)
-    crawl = min((run_crawl_bench() for _ in range(2)), key=lambda r: r["sec"])
+    draws = [run_crawl_bench() for _ in range(2)]
+    if abs(draws[0]["sec"] - draws[1]["sec"]) > 0.25 * min(d["sec"] for d in draws):
+        # the two draws disagree badly — a co-tenant burst hit one of them;
+        # one more draw so the min is less likely to be a contaminated pair
+        draws.append(run_crawl_bench())
+    crawl = min(draws, key=lambda r: r["sec"])
     queries = run_query_bench()
     result = {
         "metric": "frontier URLs fetched+parsed per second (synthetic image+caption corpus)",
@@ -200,6 +210,8 @@ def main() -> None:
         "pages_fetched": crawl["pages_fetched"],
         "crawl_urls": crawl["urls"],
         "crawl_phase_secs": crawl["phase_secs"],
+        "crawl_draws_sec": [round(d["sec"], 3) for d in draws],
+        "loadavg_1_5_15": loadavg,
     }
     print(json.dumps(result))
     ray.shutdown()
