@@ -647,6 +647,7 @@ class CrawlEngine:
         self._suspended: "_DomainReplay | None" = None  # blocked prefix replay
         self.n_fetched = 0
         self.metrics_rows: list[dict] = []
+        self._metrics_mark = 0  # metrics_rows[: mark] are checkpoint-committed
         self.invariant_failures = 0
         # driver-residency high-water marks (bounded-state evidence; cheap)
         self.hwm = {"artifacts_resident": 0, "rows_resident": 0, "pending": 0}
@@ -1264,8 +1265,11 @@ class CrawlEngine:
             dumps = ray.get([a.dump.remote() for a in self._actors["seen"]])
             for s, blob in enumerate(dumps):
                 self.ckpt.write_blob(tmp, f"seen_shard_{s}.bin", blob)
-        # per-host lineage metrics
-        mrows = [m for m in self.metrics_rows if m["wave"] == wave]
+        # per-host lineage metrics: the uncommitted suffix (mark, not a
+        # filter over the whole list — O(waves × hosts) per commit otherwise;
+        # a failed commit's window also rides along instead of being dropped,
+        # matching the other delta buffers' retention contract)
+        mrows = self.metrics_rows[self._metrics_mark :]
         if mrows:
             self.ckpt.write_table(
                 tmp,
@@ -1288,6 +1292,7 @@ class CrawlEngine:
         self._ckpt_policy_delta = {}
         self._ckpt_rows_mark = len(self.crawl_rows)
         self._ckpt_prefix_mark = self.prefix
+        self._metrics_mark = len(self.metrics_rows)
         if self._row_spill is not None:
             self._ckpt_spilled_rows_mark = self._row_spill.n_rows
 
@@ -1308,7 +1313,14 @@ class CrawlEngine:
             self.crawl_rows = []
             self._ckpt_rows_mark = 0
             self._ckpt_spilled_rows_mark += n_committed_flushed
-        self.metrics_rows.clear()  # the checkpoint holds the lineage durably
+        # the checkpoint holds the lineage durably; drop only the committed
+        # prefix (a failed commit's suffix must stay for the retry window);
+        # with no checkpoint there is nothing to retain for
+        if self.ckpt is None:
+            self.metrics_rows.clear()
+        else:
+            del self.metrics_rows[: self._metrics_mark]
+        self._metrics_mark = 0
         if self._dead_ids and len(self.artifacts.hot) > self.cfg.state_cap:
             self.artifacts.spill_dead(self._dead_ids)
             self._dead_ids = []
