@@ -581,22 +581,29 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
             nb_out.append(ns[iu[1]])
         empty = np.array([], dtype=np.int64)
         cat = lambda xs: np.concatenate(xs) if xs else empty  # noqa: E731
-        return pa.table(
-            {
-                "a": pa.array(cat(a_out), pa.int64()),
-                "b": pa.array(cat(b_out), pa.int64()),
-                "na": pa.array(cat(na_out), pa.int64()),
-                "nb": pa.array(cat(nb_out), pa.int64()),
-            }
+        raw = pd.DataFrame(
+            {"a": cat(a_out), "b": cat(b_out), "na": cat(na_out), "nb": cat(nb_out)}
         )
+        # COMBINER: collapse same-(a,b) co-occurrences of this partition to
+        # one row + partial count before the exchange. Measured at sf0.1 the
+        # reduction is small (1.27M → 1.26M: most candidate pairs co-occur on
+        # a single shingle per partition, only true near-dups collapse), but
+        # the near-dup-heavy corpora this operator exists for are exactly
+        # where it pays — a dup pair's rows drop from |A∩B| to ≤ NPART.
+        part = raw.groupby(["a", "b"], as_index=False).agg(
+            common_part=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        )
+        from ..functions.blocks import from_pandas_bare
+
+        return from_pandas_bare(part)  # metadata-free: feeds the next exchange
 
     from ..functions.groupagg import coarse_group_aggregate, grouped_map
 
-    # count co-occurrences per (a, b); the sizes are functionally dependent
-    # on a/b so `first` carries them through the aggregate
+    # sum the per-partition partial counts per (a, b); the sizes are
+    # functionally dependent on a/b so `first` carries them through
     def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["a", "b"], as_index=False).agg(
-            common=("na", "size"), na=("na", "first"), nb=("nb", "first")
+            common=("common_part", "sum"), na=("na", "first"), nb=("nb", "first")
         )
 
     co = coarse_group_aggregate(
