@@ -38,6 +38,16 @@ BENCH_CORPUS = os.environ.get(
 )
 
 
+def _loadavg():
+    """1/5/15-min load — co-tenant evidence: load ≳3 measurably slows every
+    draw on this shared box (see BASELINE.md noise notes)."""
+    try:
+        with open("/proc/loadavg") as fp:
+            return [float(x) for x in fp.read().split()[:3]]
+    except OSError:
+        return None
+
+
 def _bench_cfgs():
     from rayfrontier.config import CrawlConfig, DatagenConfig
 
@@ -184,11 +194,7 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     ensure_corpus()
-    try:  # co-tenant evidence: load ≳3 measurably slows every draw (see
-        with open("/proc/loadavg") as fp:  # BASELINE.md noise notes)
-            loadavg = [float(x) for x in fp.read().split()[:3]]
-    except OSError:
-        loadavg = None
+    loadavg = _loadavg()
     # best-of-2, like --scaling: single-machine draws vary ±25-30% (page
     # cache, plasma reuse, co-tenant noise) — one draw under-reports the
     # engine (the r02 recorded headline was a slow-edge single draw)
@@ -321,6 +327,7 @@ def scaling() -> None:
         }
     primary = result["8v32"]
     primary["scaling_efficiency_4v16"] = result["4v16"]["scaling_efficiency"]
+    result["loadavg_1_5_15"] = _loadavg()
     print(json.dumps(result))
 
 
