@@ -28,6 +28,15 @@ class CrawlConfig:
                                        # replay over contiguous domain ranges as
                                        # Ray tasks (scheduling-only; committed
                                        # outputs identical by construction)
+    overlap_replay: bool = False       # advance the committed replay inside
+                                       # _fetch's ray.wait gaps (scheduling
+                                       # only; outputs identical). OFF by
+                                       # default: on an N-core box with N task
+                                       # slots the driver's idle wait is
+                                       # capacity the decode workers use —
+                                       # measured 20% slower at 8 CPUs. Turn ON
+                                       # when the driver has a dedicated core
+                                       # (any real multi-node cluster).
     state_cap: int | None = None       # bounded-driver-state mode (SURVEY §8):
                                        # hot-artifact cap before consumed
                                        # artifacts spill to mmap'd Arrow files,

@@ -1157,12 +1157,14 @@ class CrawlEngine:
         # wave's commit instead of silently vanishing from every later resume
         # (same retention contract as the link/policy/row deltas)
         record_ckpt = self.ckpt is not None  # skip delta-row dicts otherwise
-        # NOTE: advancing the committed replay inside this loop (driver work
-        # in the ray.wait gaps) was tried and is net-NEGATIVE: with
-        # num_cpus=N task slots on an N-core box the driver's "idle" wait is
-        # real capacity the decode workers use — burning it on replay slowed
-        # the 8-CPU crawl 20% and even the 32-CPU one ~7%. Measured; don't
-        # re-try without reserving an explicit driver core.
+        # NOTE: cfg.overlap_replay advances the committed replay in the
+        # ray.wait gaps (pure scheduling; wants discarded, outputs identical
+        # — parity-tested). Default OFF: with num_cpus=N task slots on an
+        # N-core box the driver's "idle" wait is real capacity the decode
+        # workers use — burning it on replay slowed the 8-CPU crawl 20% and
+        # even the 32-CPU one ~7% (measured). On a cluster with a dedicated
+        # driver core it converts the post-fetch serial replay into overlap.
+        overlap = self.cfg.overlap_replay
         while futs:
             done, futs = ray.wait(futs, num_returns=1)
             table = ray.get(done[0])
@@ -1170,6 +1172,8 @@ class CrawlEngine:
                 ti = time.time()
                 n_new += self._ingest_block(table, wave, record_ckpt)
                 self.phase_secs["ingest"] += time.time() - ti
+                if overlap:
+                    self._advance_committed(None)
         return n_new
 
     def _ingest_block(self, table: pa.Table, wave: int, record_ckpt: bool) -> int:

@@ -307,6 +307,35 @@ def test_bounded_state_distributed_replay(ray_session, corpus, small_cfg, tmp_pa
     eng.shutdown()
 
 
+def test_overlap_replay_parity(ray_session, corpus, small_cfg, tmp_path):
+    """cfg.overlap_replay advances the committed replay inside _fetch's
+    ray.wait gaps (the dedicated-driver-core cluster mode). Pure scheduling:
+    outputs must be byte-identical to the oracle, alone and combined with
+    bounded state."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    e1 = CrawlEngine(corpus, small_cfg, CrawlConfig(overlap_replay=True, wave_url_cap=16)).run()
+    assert [tuple(r) for r in e1.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    assert e1.link_dict == oracle.url_seen
+    assert e1.domain_status == oracle.domain_status
+    e1.shutdown()
+
+    e2 = CrawlEngine(
+        corpus, small_cfg,
+        CrawlConfig(overlap_replay=True, state_cap=8, wave_url_cap=16),
+        spill_dir=str(tmp_path / "spill_ov"),
+    ).run()
+    log = e2.crawl_log_table()
+    got = list(zip(log["domain"].to_pylist(), log["url"].to_pylist(), log["seq"].to_pylist()))
+    assert got == [(r[0], r[1], r[6]) for r in oracle.crawl_log]
+    assert e2.link_dict == oracle.url_seen
+    e2.shutdown()
+
+
 def test_failed_commit_keeps_deltas_buffered(ray_session, corpus, small_cfg, tmp_path):
     """A commit_wave failure must NOT clear the delta buffers: if the caller
     survives and the next wave commits, that window's link/row deltas ride
