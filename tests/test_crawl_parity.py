@@ -108,6 +108,34 @@ def test_engine_parity_under_tight_politeness(ray_session, corpus, small_cfg):
     assert eng.link_dict == oracle.url_seen
 
 
+@pytest.mark.parametrize("kill_wave,bounded", [(1, False), (3, False), (1, True), (3, True)])
+def test_checkpoint_resume_kill_sweep(ray_session, corpus, small_cfg, tmp_path, kill_wave, bounded):
+    """Resume parity must hold from ANY kill point, resident and bounded —
+    not just the single wave-2 kill the directed tests use."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(wave_url_cap=20, state_cap=8 if bounded else None)
+    ck = str(tmp_path / f"ck_{kill_wave}_{bounded}")
+    e1 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e1.run(max_waves=kill_wave)
+    fetched_before = set(e1.fetched_ids) if e1.fetched_ids is not None else None
+    e1.shutdown()
+
+    e2 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e2.run(resume=True)
+    if fetched_before is not None and e2.fetched_ids is not None:
+        assert fetched_before.isdisjoint(e2.fetched_ids)
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    log = e2.crawl_log_table()
+    got = list(zip(log["domain"].to_pylist(), log["url"].to_pylist(), log["seq"].to_pylist()))
+    assert got == [(r[0], r[1], r[6]) for r in oracle.crawl_log]
+    assert e2.link_dict == oracle.url_seen
+    e2.shutdown()
+
+
 def test_checkpoint_resume_no_refetch(ray_session, corpus, small_cfg, tmp_path):
     from rayfrontier.pipelines.crawl import CrawlEngine
 
