@@ -55,6 +55,11 @@ def _bench_cfgs():
         n_images=N_IMAGES, n_hosts=N_HOSTS, n_shards=N_SHARDS, links_per_page=(2, 8)
     )
     ccfg = CrawlConfig(per_host_wave_cap=1024, host_tokens_per_wave=1024, wave_url_cap=1_000_000)
+    if os.environ.get("GRAFT_OVERLAP_REPLAY"):
+        from dataclasses import replace
+
+        # dedicated-driver-core mode (pin N+1 cores, RAY_GRAFT_CPUS=N)
+        ccfg = replace(ccfg, overlap_replay=True)
     return dcfg, ccfg
 
 

@@ -30,13 +30,18 @@ class CrawlConfig:
                                        # outputs identical by construction)
     overlap_replay: bool = False       # advance the committed replay inside
                                        # _fetch's ray.wait gaps (scheduling
-                                       # only; outputs identical). OFF by
-                                       # default: on an N-core box with N task
-                                       # slots the driver's idle wait is
-                                       # capacity the decode workers use —
-                                       # measured 20% slower at 8 CPUs. Turn ON
-                                       # when the driver has a dedicated core
-                                       # (any real multi-node cluster).
+                                       # only; outputs identical, parity-
+                                       # tested). OFF by default and measured
+                                       # NOT to pay on this workload even with
+                                       # a dedicated driver core (5 pinned
+                                       # cores / 4 slots A/B: 26.7 s off vs
+                                       # 28.5 s on — the committed replay here
+                                       # is a post-final-fetch tail burst, so
+                                       # there is little to overlap and the
+                                       # driver work delays result draining).
+                                       # Exists for crawls whose replay is
+                                       # wave-spread (politeness-bound, many
+                                       # waves, deep domains); measure first.
     state_cap: int | None = None       # bounded-driver-state mode (SURVEY §8):
                                        # hot-artifact cap before consumed
                                        # artifacts spill to mmap'd Arrow files,
