@@ -39,9 +39,12 @@ class CrawlConfig:
                                        # is a post-final-fetch tail burst, so
                                        # there is little to overlap and the
                                        # driver work delays result draining).
-                                       # Exists for crawls whose replay is
-                                       # wave-spread (politeness-bound, many
-                                       # waves, deep domains); measure first.
+                                       # On a wave-spread politeness-bound
+                                       # crawl it PAYS: same box/cores, caps
+                                       # 16/16/8k → 24.2 s off vs 19.6 s on
+                                       # (19% faster, identical outputs).
+                                       # Rule: replay spread over many waves
+                                       # → on; single tail burst → off.
     state_cap: int | None = None       # bounded-driver-state mode (SURVEY §8):
                                        # hot-artifact cap before consumed
                                        # artifacts spill to mmap'd Arrow files,
