@@ -32,33 +32,52 @@ from rayfrontier.functions.rounding import quantize_cols as _round_cols
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered groupby with sum/mean/count aggregates.
 
-    Pre-aggregation happens inside Ray's hash aggregate; revenue computed
-    vectorized per batch (zero-copy Arrow).
+    The group count is FIXED (~6 flag×status combinations) regardless of
+    data size, so the full hash-aggregate exchange is pure overhead: each
+    batch emits its ≤6-row partial (sums + count; mean = sum/count at the
+    end), and the driver combines #batches × 6 tiny rows — the
+    partial-aggregate pattern, legitimate at any scale for fixed-cardinality
+    keys (at 100 TB the combine input is still KBs).
     """
-    from ray.data.aggregate import Count, Mean, Sum
-
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def add_rev(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("revenue", rev)
-        return t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
-
-    out = (
-        ds.map_batches(add_rev, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_rev"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n_rows"),
+        part = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "rev": rev,
+                "disc": t["l_discount"],
+            }
         )
+        agg = part.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("rev", "sum"), ("disc", "sum"), ("disc", "count")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "sum_disc", "n_rows"]
+        )
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_rev=("sum_rev", "sum"),
+        sum_disc=("sum_disc", "sum"),
+        n_rows=("n_rows", "sum"),
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out["avg_disc"] = out["sum_disc"] / out["n_rows"]
+    out = out.drop(columns=["sum_disc"])[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "avg_disc", "n_rows"]
+    ]
+    t = pa.Table.from_pandas(out, preserve_index=False)
     return _round_cols(t, {"sum_qty": 2, "sum_rev": 2, "avg_disc": 6})
 
 
