@@ -95,7 +95,6 @@ def q_mkt_revenue(sf_dir: str):
     inside each actor; only the grouped partials shuffle.
     """
     import ray
-    from ray.data.aggregate import Count, Sum
 
     # broadcast the dimension as (sorted keys, category codes) numpy arrays:
     # plasma-backed numpy is ZERO-COPY on every ray.get, unlike a dict which
@@ -109,27 +108,34 @@ def q_mkt_revenue(sf_dir: str):
     cats_arr = np.array(cats)
 
     def join_seg(t: pa.Table) -> pa.Table:
+        # join + PARTIAL aggregate in one pass: the segment count is fixed
+        # (5), so each batch emits ≤5 partial rows and the driver combines
+        # #batches × 5 — no grouped exchange, no joined-row materialization
         keys = ray.get(keys_ref)
         codes = ray.get(codes_ref)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(keys, ck)
         idx_c = np.clip(idx, 0, len(keys) - 1)
         hit = (idx < len(keys)) & (keys[idx_c] == ck)
-        seg = cats_arr[codes[idx_c]]
+        code = codes[idx_c][hit]
+        rev = np.bincount(code, weights=price[hit], minlength=len(cats_arr))
+        n = np.bincount(code, minlength=len(cats_arr))
+        present = n > 0
         return pa.table(
             {
-                "o_totalprice": t["o_totalprice"],
-                "c_mktsegment": pa.array(seg, pa.string()),
+                "c_mktsegment": pa.array(cats_arr[present], pa.string()),
+                "revenue": pa.array(rev[present], pa.float64()),
+                "n_orders": pa.array(n[present], pa.int64()),
             }
-        ).filter(pa.array(hit))
+        )
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    out = (
-        orders.map_batches(join_seg, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    parts = orders.map_batches(join_seg, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out, preserve_index=False)
     return _round_cols(t, {"revenue": 2})
 
 
@@ -182,25 +188,31 @@ def q_event_hourly(sf_dir: str):
 
 
 def q_top_lineitems_per_flag(sf_dir: str, k: int = 3):
-    """Per-group top-k via groupby().map_groups — the per-host heap shape."""
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+    """Per-group top-k — the per-host heap shape, as partial top-k per batch.
 
-    def topk(t: pa.Table) -> pa.Table:
-        g = t.to_pandas().sort_values(
-            ["l_extendedprice", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
-        )
+    Top-k per key is associative: each batch keeps its own top-k per flag
+    (≤ 3 flags × k rows), the driver merges #batches × 3k rows and re-takes
+    the top-k. No exchange at all — the previous grouped_map funneled EVERY
+    row through one sort partition (3 fixed groups can't spread further)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"])
+    order_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    asc = [False, True, True]
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(order_cols, ascending=asc)
         from rayfrontier.functions.blocks import from_pandas_bare
 
-        return from_pandas_bare(g.head(k))
+        return from_pandas_bare(g.groupby("l_returnflag", sort=False).head(k))
 
-    from rayfrontier.functions.groupagg import grouped_map
-
-    # 3-value group key: quantile-sampled sort boundaries duplicate → empty
-    # ranges → empty-schema blocks (executor warns every run). One hash
-    # partition holds all three groups; the funnel is inherent to a 3-group
-    # aggregate at any scale.
-    out = grouped_map(ds, "l_returnflag", topk, num_partitions=1)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    parts = ds.map_batches(topk_partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = (
+        parts.sort_values(order_cols, ascending=asc)
+        .groupby("l_returnflag", sort=False)
+        .head(k)
+        .sort_values(["l_returnflag"] + order_cols, ascending=[True] + asc)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_supplier_nation(sf_dir: str):
