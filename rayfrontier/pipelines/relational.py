@@ -140,13 +140,22 @@ def q_mkt_revenue(sf_dir: str):
 
 
 def q_order_status_counts(sf_dir: str):
-    """A2 domain-outcome analog: classify + count per class."""
-    from ray.data.aggregate import Count
+    """A2 domain-outcome analog: classify + count per class (fixed 3-value
+    key → per-batch partial counts, driver combine; no exchange)."""
 
-    out = _read(sf_dir, "orders", ["o_orderstatus"]).groupby("o_orderstatus").aggregate(
-        Count(alias_name="n")
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("o_orderstatus").aggregate([("o_orderstatus", "count")]) \
+                .rename_columns(["o_orderstatus", "n"])
+
+    import pandas as pd
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderstatus"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = parts.groupby("o_orderstatus", as_index=False).agg(n=("n", "sum"))
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_acctbal_band(sf_dir: str, lo: float = 4000.0, hi: float = 6000.0):
@@ -162,9 +171,20 @@ def q_acctbal_band(sf_dir: str, lo: float = 4000.0, hi: float = 6000.0):
 
 
 def q_distinct_event_types(sf_dir: str):
-    """D-family distinct (shuffle on one small column only)."""
-    out = _read(sf_dir, "events", ["event_type"]).unique("event_type")
-    return pa.table({"event_type": pa.array(sorted(out), pa.string())})
+    """D-family distinct: per-batch unique + driver set-union (distinct is
+    associative; each batch emits its ≤|domain| values, no shuffle)."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"event_type": pc.unique(t["event_type"])})
+
+    parts = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(uniq, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return pa.table({"event_type": pa.array(sorted(set(parts["event_type"])), pa.string())})
 
 
 def q_event_hourly(sf_dir: str):
@@ -409,8 +429,6 @@ def q_order_lineitem_join(sf_dir: str):
     partial row per (batch, orderkey) instead of every lineitem row — the
     partial-aggregate-below-the-join plan every SQL optimizer picks here.
     """
-    from ray.data.aggregate import Sum
-
     from rayfrontier.functions.joins import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -437,10 +455,21 @@ def q_order_lineitem_join(sf_dir: str):
         how="inner",
         nparts=max(4, ncpu // 4),
     )
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("rev_part", alias_name="revenue"), Sum("n_part", alias_name="n_lineitems")
+    # final rollup: 5 fixed priorities → per-batch partials over the join
+    # output, driver combine (saves the post-join Aggregate exchange)
+    def rollup(t: pa.Table) -> pa.Table:
+        agg = t.group_by("o_orderpriority").aggregate(
+            [("rev_part", "sum"), ("n_part", "sum")]
+        )
+        return agg.rename_columns(["o_orderpriority", "revenue", "n_lineitems"])
+
+    import pandas as pd
+
+    parts = joined.map_batches(rollup, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum"), n_lineitems=("n_lineitems", "sum")
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out, preserve_index=False)
     return _round_cols(t, {"revenue": 2})
 
 
