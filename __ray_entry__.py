@@ -958,7 +958,15 @@ def _q_events_sketches(sf_dir: str):
 
     types = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["event_type"])
     exact_counts = types.to_pandas()["event_type"].value_counts()
-    for val, approx_n in heavy_hitters(types, "event_type", k=3):
+    # top-3 IDENTITY comes from the exact counts with the oracle's tie-break
+    # (count DESC, event_type ASC) — a CMS overestimate near the rank-3
+    # boundary must not change the candidate SET, only the within_tol check
+    ec = exact_counts.reset_index()
+    ec.columns = ["event_type", "n"]
+    top3 = ec.sort_values(["n", "event_type"], ascending=[False, True]).head(3)["event_type"]
+    cms_est = dict(heavy_hitters(types, "event_type", k=10))
+    for val in top3:
+        approx_n = cms_est.get(val, 0)
         rows.append(("cms", f"top_type:{val}", float(approx_n), float(exact_counts[val]), 1.0))
 
     values = read_parquet_bare(f"{sf_dir}/events.parquet", columns=["value"])
@@ -1456,20 +1464,32 @@ def _ensure_oracle_dumps(sf_dir: str = "/root/testdata/sf0.01") -> None:
     on the tiny parity corpus — the driver always has Ray initialised by the
     time it touches this module), so this is a cheap no-op on the second
     caller whichever side runs first."""
-    try:
-        _oracle_replay_dumps()
-        _parity_dumps()
-        _sequential_parse_dumps()
-        _image_oracle_dump()
-        _frames_oracle_dump()
-        if os.path.isdir(sf_dir):
-            _simhash_oracle_dump(sf_dir)
-            _embed_oracle_dump(sf_dir)
-            _ivf_oracle_dump(sf_dir)
-            _embed_clusters_oracle_dump(sf_dir)
-            _profile_oracle_dump(sf_dir)
-    except Exception:  # noqa: BLE001 — the gate must still see the SQL strings
-        pass
+    import logging
+
+    gens: list = [
+        _oracle_replay_dumps,
+        _parity_dumps,
+        _sequential_parse_dumps,
+        _image_oracle_dump,
+        _frames_oracle_dump,
+    ]
+    if os.path.isdir(sf_dir):
+        gens += [
+            lambda: _simhash_oracle_dump(sf_dir),
+            lambda: _embed_oracle_dump(sf_dir),
+            lambda: _ivf_oracle_dump(sf_dir),
+            lambda: _embed_clusters_oracle_dump(sf_dir),
+            lambda: _profile_oracle_dump(sf_dir),
+        ]
+    for gen in gens:
+        try:
+            gen()
+        except Exception:  # noqa: BLE001 — the gate must still see the SQL strings
+            # surface the root cause; the SQL will later fail on the missing
+            # parquet, which is opaque without this breadcrumb
+            logging.getLogger(__name__).warning(
+                "oracle dump generator %s failed", getattr(gen, "__name__", gen), exc_info=True
+            )
 
 
 def oracle_sql() -> dict[str, str]:

@@ -448,11 +448,28 @@ class _ActorArtifacts:
         self.cache_cap = cache_cap
 
     def add_wave(self, table: pa.Table) -> None:
+        # Wave deltas are DISJOINT by construction (an id is fetched exactly
+        # once; see _fetch's seen-gating): a duplicate id would double-count
+        # in all_ids and the stable sort would resolve it to the OLDEST wave.
+        # Guard the invariant cheaply — strictly-increasing merged ids.
         if not table.num_rows:
             return
         from ..state.spill import col_np
 
         ids = col_np(table, "id")
+        if __debug__:
+            # O(new log total), not O(total): new ids must be unique and
+            # absent from the (strictly-increasing by induction) index
+            dup_new = ids.size > 1 and not (np.diff(ids) > 0).all()
+            p = np.searchsorted(self.all_ids, ids)
+            pc_ = np.clip(p, 0, max(self.all_ids.size - 1, 0))
+            dup_old = self.all_ids.size > 0 and bool(
+                ((p < self.all_ids.size) & (self.all_ids[pc_] == ids)).any()
+            )
+            if dup_new or dup_old:
+                raise AssertionError(
+                    "duplicate artifact id across waves — fetched-exactly-once invariant broken"
+                )
         widx = np.full(ids.size, len(self.waves), dtype=np.int32)
         self.waves.append((ids, table))
         merged = np.concatenate([self.all_ids, ids])
@@ -762,12 +779,13 @@ class CrawlEngine:
         Called from the top of every wave's ``_replay`` with the wave's
         pending dict, so the blocked domain registers its wants. The
         ``pending=None`` form (wants suppressed; ``_blocked_iid`` gates
-        useless re-walks) exists for fetch-time advancement in the driver's
-        ``ray.wait`` gaps — currently NOT wired into ``_fetch``: on an
-        N-core box with N task slots the driver's "idle" wait is capacity
-        the decode workers use, and burning it on replay measurably slowed
-        the crawl (see the NOTE in ``_fetch``). Kept because a cluster with
-        a dedicated driver core would want it back.
+        useless re-walks) is the fetch-time advancement used in the driver's
+        ``ray.wait`` gaps — wired into ``_fetch`` behind the OPT-IN
+        ``cfg.overlap_replay`` (default off): on an N-core box with N task
+        slots the driver's "idle" wait is capacity the decode workers use,
+        and burning it on replay measurably slowed tail-burst crawls, while
+        wave-spread (steady-state / politeness-bound) crawls gain 14-19%
+        (see the NOTE in ``_fetch`` and the A/B in ``config.py``).
         """
         if (
             pending is None

@@ -180,7 +180,10 @@ def rule_stats(sentences):
         )
         part = pa.table({"doc_id": doc, "rule": flat})
         agg = part.group_by(["doc_id", "rule"]).aggregate([("rule", "count")])
-        return agg.rename_columns(["doc_id", "rule", "hits_part"])
+        # select by '<col>_<fn>' name: key/aggregate order varies by pyarrow major
+        return agg.select(["doc_id", "rule", "rule_count"]).rename_columns(
+            ["doc_id", "rule", "hits_part"]
+        )
 
     import pyarrow.compute as pc
 
@@ -342,7 +345,9 @@ def rule_histograms(rule_stats_ds):
             }
         )
         agg = part.group_by(["rule", "bin_lo"]).aggregate([("bin_lo", "count")])
-        return agg.rename_columns(["rule", "bin_lo", "n_part"])
+        return agg.select(["rule", "bin_lo", "bin_lo_count"]).rename_columns(
+            ["rule", "bin_lo", "n_part"]
+        )
 
     return (
         rule_stats_ds.map_batches(binify, batch_format="pyarrow")

@@ -60,7 +60,11 @@ def q_pricing_summary(sf_dir: str):
         agg = part.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("rev", "sum"), ("disc", "sum"), ("disc", "count")]
         )
-        return agg.rename_columns(
+        # select by the deterministic '<col>_<fn>' names — key/aggregate
+        # column ORDER differs across pyarrow majors, so never rename by position
+        return agg.select(
+            ["l_returnflag", "l_linestatus", "qty_sum", "rev_sum", "disc_sum", "disc_count"]
+        ).rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "sum_disc", "n_rows"]
         )
 
@@ -144,8 +148,12 @@ def q_order_status_counts(sf_dir: str):
     key → per-batch partial counts, driver combine; no exchange)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by("o_orderstatus").aggregate([("o_orderstatus", "count")]) \
-                .rename_columns(["o_orderstatus", "n"])
+        agg = t.group_by("o_orderstatus").aggregate([("o_orderstatus", "count")])
+        # name-based select: pyarrow's key-vs-aggregate column order is not
+        # stable across majors
+        return agg.select(["o_orderstatus", "o_orderstatus_count"]).rename_columns(
+            ["o_orderstatus", "n"]
+        )
 
     import pandas as pd
 
@@ -236,32 +244,56 @@ def q_top_lineitems_per_flag(sf_dir: str, k: int = 3):
 
 
 def q_supplier_nation(sf_dir: str):
-    """Two-level broadcast join chain (supplier→nation→region) + aggregate."""
+    """Two-level broadcast join chain (supplier→nation→region) + aggregate.
+
+    nation⋈region collapses driver-side (25×5 rows) into a sorted
+    nationkey array + parallel region-code array; each supplier batch joins
+    via two searchsorted lookups (the q_mkt_revenue codes pattern — no
+    per-row Python) and, since region cardinality is FIXED (5), emits a
+    ≤5-row partial (sum, count) that the driver combines: no exchange.
+    """
     import ray
-    from ray.data.aggregate import Count, Mean
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    n2r = dict(zip(region["r_regionkey"], region["r_name"]))
-    nmap = {
-        int(k): (v, n2r.get(int(rk), None))
-        for k, v, rk in zip(nation["n_nationkey"], nation["n_name"], nation["n_regionkey"])
-    }
-    ref = ray.put(nmap)
+    cats = sorted(region["r_name"].unique())
+    rcode = dict(zip(region["r_regionkey"], region["r_name"].map({c: i for i, c in enumerate(cats)})))
+    nation = nation.sort_values("n_nationkey")
+    keys_ref = ray.put(nation["n_nationkey"].to_numpy(dtype=np.int64))
+    codes_ref = ray.put(nation["n_regionkey"].map(rcode).to_numpy(dtype=np.int32))
+    cats_arr = np.array(cats)
 
-    def join_nation(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        pairs = [m.get(int(x), (None, None)) for x in t["s_nationkey"].to_pylist()]
-        t = t.append_column("n_name", pa.array([p[0] for p in pairs], pa.string()))
-        return t.append_column("r_name", pa.array([p[1] for p in pairs], pa.string()))
+    def join_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        codes = ray.get(codes_ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        bal = t["s_acctbal"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, nk)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        hit = (idx < len(keys)) & (keys[idx_c] == nk)  # inner-join: drop misses
+        code = codes[idx_c][hit]
+        sums = np.bincount(code, weights=bal[hit], minlength=len(cats_arr))
+        n = np.bincount(code, minlength=len(cats_arr))
+        present = n > 0
+        return pa.table(
+            {
+                "r_name": pa.array(cats_arr[present], pa.string()),
+                "sum_bal": pa.array(sums[present], pa.float64()),
+                "n_suppliers": pa.array(n[present], pa.int64()),
+            }
+        )
 
-    out = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
-        .map_batches(join_nation, batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_suppliers"), Mean("s_acctbal", alias_name="avg_bal"))
+    parts = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(join_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
     )
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = parts.groupby("r_name", as_index=False).agg(
+        sum_bal=("sum_bal", "sum"), n_suppliers=("n_suppliers", "sum")
+    )
+    out["avg_bal"] = out["sum_bal"] / out["n_suppliers"]
+    out = out[["r_name", "n_suppliers", "avg_bal"]]
+    t = pa.Table.from_pandas(out, preserve_index=False)
     return _round_cols(t, {"avg_bal": 4})
 
 
@@ -437,7 +469,9 @@ def q_order_lineitem_join(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         part = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
         agg = part.group_by("l_orderkey").aggregate([("rev", "sum"), ("rev", "count")])
-        return agg.rename_columns(["l_orderkey", "rev_part", "n_part"])
+        return agg.select(["l_orderkey", "rev_sum", "rev_count"]).rename_columns(
+            ["l_orderkey", "rev_part", "n_part"]
+        )
 
     import ray
 
@@ -461,7 +495,9 @@ def q_order_lineitem_join(sf_dir: str):
         agg = t.group_by("o_orderpriority").aggregate(
             [("rev_part", "sum"), ("n_part", "sum")]
         )
-        return agg.rename_columns(["o_orderpriority", "revenue", "n_lineitems"])
+        return agg.select(["o_orderpriority", "rev_part_sum", "n_part_sum"]).rename_columns(
+            ["o_orderpriority", "revenue", "n_lineitems"]
+        )
 
     import pandas as pd
 
