@@ -66,6 +66,14 @@ def _docs(sf_dir: str):
     )
 
 
+def _docs_bytes(sf_dir: str) -> int:
+    """Footer-metadata size of documents.parquet — the auto_nparts hint for
+    every docs-table coarse aggregate (partition count grows with the data)."""
+    from rayfrontier.functions.groupagg import parquet_size_bytes
+
+    return parquet_size_bytes(f"{sf_dir}/documents.parquet")
+
+
 def _pages_ds():
     from rayfrontier.pipelines.parse import pages_dataset_from_corpus
 
@@ -474,7 +482,7 @@ def _q_scores(sf_dir: str):
 def _q_docs_exact_dedup(sf_dir: str):
     from rayfrontier.pipelines.dedup import exact_dedup
 
-    out = exact_dedup(_docs(sf_dir)).select_columns(["keep_id", "n_copies"])
+    out = exact_dedup(_docs(sf_dir), size_bytes=_docs_bytes(sf_dir)).select_columns(["keep_id", "n_copies"])
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -489,7 +497,7 @@ def _q_docs_minhash_pairs(sf_dir: str):
     from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.dedup import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5)
+    out = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5, size_bytes=_docs_bytes(sf_dir))
     t = _stable_schema(
         out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
     )
@@ -547,7 +555,7 @@ def _q_docs_simhash_pairs(sf_dir: str):
     from rayfrontier.pipelines.dedup import simhash_pairs
 
     _simhash_oracle_dump(sf_dir)
-    out = simhash_pairs(_docs(sf_dir), max_hamming=3)
+    out = simhash_pairs(_docs(sf_dir), max_hamming=3, size_bytes=_docs_bytes(sf_dir))
     return _stable_schema(
         out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "hamming": pa.int64()}
     )
@@ -1002,7 +1010,7 @@ def _q_docs_dedup_components(sf_dir: str):
     from rayfrontier.pipelines.dedup import dedup_components, ngram_jaccard_pairs
 
     docs = _docs(sf_dir)
-    pairs = ngram_jaccard_pairs(docs, jaccard_threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, jaccard_threshold=0.5, size_bytes=_docs_bytes(sf_dir))
     return dedup_components(pairs, docs.select_columns(["doc_id"]))
 
 
@@ -1015,7 +1023,7 @@ def _q_docs_ngram_pairs(sf_dir: str):
     from rayfrontier.functions.rounding import quantize_cols
     from rayfrontier.pipelines.dedup import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(_docs(sf_dir), jaccard_threshold=0.5)
+    out = ngram_jaccard_pairs(_docs(sf_dir), jaccard_threshold=0.5, size_bytes=_docs_bytes(sf_dir))
     t = _stable_schema(
         out.to_pandas(), {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
     )

@@ -6,9 +6,12 @@ CPUs — versus <1 s for the same aggregation done vectorized inside pandas.
 Any aggregation whose group count scales with the DATA (content hashes,
 candidate pairs, URLs) must instead:
 
-  1. bucket rows into a FIXED number of coarse partitions by key hash
-     (vectorized, map-side);
-  2. ``groupby(part).map_groups(...)`` — 64 groups, not millions;
+  1. bucket rows into a data-sized number of coarse partitions by key hash
+     (vectorized, map-side; :func:`auto_nparts` — ~256 MiB of input per
+     partition, floored at max(64, 2× cluster CPUs) so the count grows with
+     the data instead of capping parallelism or per-task memory);
+  2. ``groupby(part).map_groups(...)`` — tens-to-thousands of groups, not
+     millions;
   3. run the real aggregation vectorized (pandas/pyarrow) inside each
      partition. Correct because the coarse key is a function of the group
      key: every row of a group lands in the same partition.
@@ -99,15 +102,72 @@ def mute_empty_schema_warnings() -> None:
         lg.addFilter(_EmptySchemaFilter())
 
 
+#: per-partition in-memory budget: one coarse partition is materialized as ONE
+#: pandas DataFrame inside its map_groups task, so this bounds per-task heap.
+TARGET_PARTITION_BYTES = 256 << 20
+
+
+def auto_nparts(
+    size_bytes: int | None = None,
+    *,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    floor: int = 64,
+) -> int:
+    """Coarse-partition count sized to the DATA, not a constant.
+
+    A fixed nparts caps parallelism at that constant and grows per-task
+    memory linearly with input (each partition is one in-task DataFrame).
+    Scaling rule: enough partitions that each holds ~``target_partition_bytes``
+    of input, floored at max(``floor``, 2× cluster CPUs) so small inputs still
+    spread over the cluster. At 100 TB / 256 MiB that is ~400k partitions —
+    fine, the partition id is just a hash-mod key.
+    """
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    lo = max(floor, 2 * ncpu)
+    if size_bytes is None or size_bytes <= 0:
+        return lo
+    import math
+
+    return max(lo, math.ceil(size_bytes / target_partition_bytes))
+
+
+def parquet_size_bytes(paths) -> int:
+    """UNCOMPRESSED byte size of parquet file(s) from footer metadata only —
+    no scan, no Dataset execution (``ds.size_bytes()`` would materialize a
+    lazy pipeline mid-stream). Over-estimates column-pruned reads (counts all
+    columns), which errs toward more partitions — the safe direction."""
+    import pyarrow.parquet as pq
+
+    if not isinstance(paths, (list, tuple)):
+        paths = [paths]
+    total = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for i in range(md.num_row_groups):
+            total += md.row_group(i).total_byte_size
+    return total
+
+
 def coarse_group_aggregate(
     ds,
     keys: list[str],
     agg: Callable[[pd.DataFrame], pd.DataFrame],
-    nparts: int = 64,
+    nparts: int | None = None,
+    *,
+    size_bytes: int | None = None,
 ):
     """Group ``ds`` by ``keys`` and apply the vectorized per-group aggregation
     ``agg`` (a pandas fn applied to each coarse PARTITION — it must do its own
-    ``df.groupby(keys)`` inside, which is C-fast)."""
+    ``df.groupby(keys)`` inside, which is C-fast).
+
+    ``nparts=None`` (default) sizes the partition count to the data via
+    :func:`auto_nparts` — pass ``size_bytes`` (e.g. from
+    :func:`parquet_size_bytes` on the source files) so the count grows with
+    the input instead of pinning at the floor."""
+    if nparts is None:
+        nparts = auto_nparts(size_bytes)
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column("_part", pa.array(_part_of(t, keys, nparts), pa.int32()))
@@ -122,30 +182,39 @@ def coarse_group_aggregate(
     return grouped_map(ds.map_batches(add_part, batch_format="pyarrow"), "_part", run)
 
 
-def pair_count(ds, nparts: int = 64):
+def pair_count(ds, nparts: int | None = None, *, size_bytes: int | None = None):
     """count rows per (a, b) → columns (a, b, common)."""
     return coarse_group_aggregate(
         ds,
         ["a", "b"],
         lambda df: df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "common"}),
         nparts,
+        size_bytes=size_bytes,
     )
 
 
-def pair_distinct(ds, nparts: int = 64):
+def pair_distinct(ds, nparts: int | None = None, *, size_bytes: int | None = None):
     """distinct (a, b) rows."""
     return coarse_group_aggregate(
-        ds, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]), nparts
+        ds, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]), nparts, size_bytes=size_bytes
     )
 
 
-def pair_min(ds, col: str, nparts: int = 64):
+def pair_min(ds, col: str, nparts: int | None = None, *, size_bytes: int | None = None):
     return coarse_group_aggregate(
-        ds, ["a", "b"], lambda df: df.groupby(["a", "b"], as_index=False)[col].min(), nparts
+        ds,
+        ["a", "b"],
+        lambda df: df.groupby(["a", "b"], as_index=False)[col].min(),
+        nparts,
+        size_bytes=size_bytes,
     )
 
 
-def pair_max(ds, col: str, nparts: int = 64):
+def pair_max(ds, col: str, nparts: int | None = None, *, size_bytes: int | None = None):
     return coarse_group_aggregate(
-        ds, ["a", "b"], lambda df: df.groupby(["a", "b"], as_index=False)[col].max(), nparts
+        ds,
+        ["a", "b"],
+        lambda df: df.groupby(["a", "b"], as_index=False)[col].max(),
+        nparts,
+        size_bytes=size_bytes,
     )

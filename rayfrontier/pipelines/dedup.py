@@ -39,11 +39,16 @@ BANDS = 16
 _BROADCAST_PAIR_MAX = 10_000  # candidate pairs below this: broadcast-verify
 
 
-def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
+                size_bytes: int | None = None):
     """First-wins exact dedup: one row per distinct text, winner = min id.
 
     Shuffle key is a 64-bit hash of the text, not the text itself (SURVEY.md
     §4 memory discipline). Returns (text_hash, keep_id, n_copies).
+
+    ``size_bytes``: approximate bytes of the SHUFFLED stream (~24 B/doc here —
+    hash + id), used to size the coarse partition count to the data
+    (groupagg.auto_nparts). None pins the floor (2× cluster CPUs).
     """
     def hash_stage(t: pa.Table) -> pa.Table:
         h = np.fromiter((hash_text(x) for x in t[text_col].to_pylist()), dtype=np.uint64, count=t.num_rows)
@@ -64,7 +69,10 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
         return out
 
     return coarse_group_aggregate(
-        docs.map_batches(hash_stage, batch_format="pyarrow"), ["text_hash"], first_wins
+        docs.map_batches(hash_stage, batch_format="pyarrow"),
+        ["text_hash"],
+        first_wins,
+        size_bytes=size_bytes,
     )
 
 
@@ -98,7 +106,8 @@ class SketchStage:
 
 
 def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3,
-                      verify_broadcast_max: int = _BROADCAST_PAIR_MAX):
+                      verify_broadcast_max: int = _BROADCAST_PAIR_MAX,
+                      size_bytes: int | None = None):
     """MinHash+LSH candidate pairs verified by exact Jaccard.
 
     Stages: sketch (map_batches) → groupby(band, band_hash) → emit candidate
@@ -116,11 +125,16 @@ def minhash_lsh_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3,
     # fine-grained bucket grouping vectorized in pandas per partition — one
     # map_groups call per partition, not per bucket (tiny-group map_groups is
     # the classic Ray Data anti-pattern; SURVEY.md §4 batched-RPC discipline).
-    NPART = 64
+    # Partition count scales with the data (per-partition pandas memory stays
+    # ~constant); pass size_bytes ≈ source text bytes — band rows are
+    # id+hash-only so this over-partitions, the safe direction.
+    from ..functions.groupagg import auto_nparts
+
+    NPART = auto_nparts(size_bytes)
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = np.bitwise_and(
-            np.abs(t["band_hash"].to_numpy(zero_copy_only=False)), NPART - 1
+        part = (
+            np.abs(t["band_hash"].to_numpy(zero_copy_only=False)) % NPART
         ).astype(np.int32)
         return t.append_column("part", pa.array(part, pa.int32()))
 
@@ -264,8 +278,11 @@ def _verify_pairs_jaccard(pairs, docs, k: int, threshold: float,
     return j2.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
-def simhash_pairs(docs, max_hamming: int = 3):
-    """SimHash near-dup: bucket on each of four 16-bit bands, verify Hamming."""
+def simhash_pairs(docs, max_hamming: int = 3, size_bytes: int | None = None):
+    """SimHash near-dup: bucket on each of four 16-bit bands, verify Hamming.
+
+    ``size_bytes`` sizes the coarse bucket-partition count to the data
+    (groupagg.auto_nparts); None pins the floor."""
     def sketch(t: pa.Table) -> pa.Table:
         ids, band, key, sh = [], [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
@@ -284,7 +301,9 @@ def simhash_pairs(docs, max_hamming: int = 3):
             }
         )
 
-    NPART = 64
+    from ..functions.groupagg import auto_nparts
+
+    NPART = auto_nparts(size_bytes)
 
     def add_part(t: pa.Table) -> pa.Table:
         part = (
@@ -514,7 +533,8 @@ def _verify_pairs_cosine(pairs, embeds, threshold: float, id_col: str = "vec_id"
     return j2.map_batches(verify, batch_format="pyarrow", batch_size=8192)
 
 
-def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df: int = 256):
+def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df: int = 256,
+                        size_bytes: int | None = None):
     """Exact n-gram Jaccard similarity join via a distributed inverted index.
 
     Unlike :func:`minhash_lsh_pairs` (probabilistic candidates, exact verify),
@@ -555,10 +575,14 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
             }
         )
 
-    NPART = 64
+    # postings are ~24 B per token-shingle — comparable to the source text
+    # bytes, so size_bytes (source text size) is a fair partition-sizing hint
+    from ..functions.groupagg import auto_nparts
+
+    NPART = auto_nparts(size_bytes)
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = np.bitwise_and(np.abs(t["shingle"].to_numpy(zero_copy_only=False)), NPART - 1)
+        part = np.abs(t["shingle"].to_numpy(zero_copy_only=False)) % NPART
         return t.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
 
     def partition_pairs(t: pa.Table) -> pa.Table:
@@ -615,6 +639,7 @@ def ngram_jaccard_pairs(docs, jaccard_threshold: float = 0.6, k: int = 3, max_df
         ),
         ["a", "b"],
         count_pairs,
+        size_bytes=size_bytes,
     )
 
     def score(t: pa.Table) -> pa.Table:

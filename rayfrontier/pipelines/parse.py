@@ -236,11 +236,12 @@ def tag_projection(elements, tag: str):
     return elements.map_batches(proj, batch_format="pyarrow")
 
 
-def sequential_text(elements):
+def sequential_text(elements, size_bytes: int | None = None):
     """K5: per-doc "tN\\ntext" concatenation in seq order
     (``parser-tokenizer.py:291-296``). Doc cardinality scales with data, so
     this is a coarse-partitioned aggregate (functions/groupagg): one pandas
-    string-concat groupby per partition, never a Ray group per document."""
+    string-concat groupby per partition, never a Ray group per document.
+    ``size_bytes`` (≈ elements text bytes) sizes the partition count."""
     import pandas as pd  # noqa: F401
 
     from ..functions.groupagg import coarse_group_aggregate
@@ -255,6 +256,7 @@ def sequential_text(elements):
         elements.select_columns(["doc_id", "seq_idx", "tag", "tag_idx", "text"]),
         ["doc_id"],
         concat,
+        size_bytes=size_bytes,
     )
 
 

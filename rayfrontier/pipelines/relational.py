@@ -29,6 +29,13 @@ def _read(sf_dir: str, table: str, columns=None):
 from rayfrontier.functions.rounding import quantize_cols as _round_cols
 
 
+def _tbl_bytes(sf_dir: str, table: str) -> int:
+    """Footer-metadata size of a source table, for auto_nparts sizing."""
+    from rayfrontier.functions.groupagg import parquet_size_bytes
+
+    return parquet_size_bytes(f"{sf_dir}/{table}.parquet")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered groupby with sum/mean/count aggregates.
 
@@ -380,9 +387,10 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     per-user event stream split on >gap inactivity; one row per session.
 
     User cardinality scales with the data, so this routes through
-    functions/groupagg.coarse_group_aggregate (64 fixed partitions keyed on
-    user_id) instead of a native per-user groupby — the session logic runs
-    once per PARTITION, fully vectorized over all its users at once.
+    functions/groupagg.coarse_group_aggregate (data-sized partition count
+    keyed on user_id, ~256 MiB of input each) instead of a native per-user
+    groupby — the session logic runs once per PARTITION, fully vectorized
+    over all its users at once.
     Deterministic tie-break (ts, event_id) on both engine and oracle.
     """
     from rayfrontier.functions.groupagg import coarse_group_aggregate
@@ -412,7 +420,9 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg
 
-    out = coarse_group_aggregate(ds, ["user_id"], sessions)
+    out = coarse_group_aggregate(
+        ds, ["user_id"], sessions, size_bytes=_tbl_bytes(sf_dir, "events")
+    )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -447,7 +457,9 @@ def q_click_last_purchase(sf_dir: str):
             }
         )
 
-    out = coarse_group_aggregate(ds, ["user_id"], asof)
+    out = coarse_group_aggregate(
+        ds, ["user_id"], asof, size_bytes=_tbl_bytes(sf_dir, "events")
+    )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -567,6 +579,8 @@ def q_customer_running_total(sf_dir: str):
             }
         )
 
-    out = coarse_group_aggregate(ds, ["o_custkey"], running)
+    out = coarse_group_aggregate(
+        ds, ["o_custkey"], running, size_bytes=_tbl_bytes(sf_dir, "orders")
+    )
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return _round_cols(t, {"running_total": 2})

@@ -58,8 +58,12 @@ class ScoreStage:
         )
 
 
-def scores_dataset(pages, ground_truth: str, dictionary: frozenset, threshold: float = 0.6):
-    """Full verify pipeline; returns (doc_id, sim, english, dup, borderline)."""
+def scores_dataset(pages, ground_truth: str, dictionary: frozenset, threshold: float = 0.6,
+                   size_bytes: int | None = None):
+    """Full verify pipeline; returns (doc_id, sim, english, dup, borderline).
+
+    ``size_bytes`` (≈ scored-rows bytes, ~50 B/doc) sizes the dedup partition
+    count (groupagg.auto_nparts)."""
     import ray
     import ray.data as rd  # noqa: F401
 
@@ -85,7 +89,7 @@ def scores_dataset(pages, ground_truth: str, dictionary: frozenset, threshold: f
         df["dup"] = df.duplicated("text_hash")
         return df
 
-    deduped = coarse_group_aggregate(scored, ["text_hash"], mark_dups)
+    deduped = coarse_group_aggregate(scored, ["text_hash"], mark_dups, size_bytes=size_bytes)
 
     def finalize(t: pa.Table) -> pa.Table:
         sim = pc.if_else(t["dup"], pa.scalar(DUP_SENTINEL, pa.float64()), t["sim"])
