@@ -1457,13 +1457,27 @@ class CrawlEngine:
             order = ranked[: self.cfg.wave_url_cap]
             if self._frontier_dir is not None:
                 # materialize the non-admitted frontier (beyond-cap remainder
-                # + anything a BoundedPending compaction evicted this wave) as
-                # the wave's parquet frontier table — SURVEY §7's overflow sink
+                # + everything BoundedPending compactions evicted this wave)
+                # as the wave's parquet frontier table — SURVEY §7's overflow
+                # sink. An evicted want can be re-wanted (appearing again in
+                # ranked, possibly with a better key) or even climb into the
+                # admitted set, so dedupe by id keeping the best key and drop
+                # anything admitted: the table is exactly the wave's
+                # wanted-but-not-admitted set (test-pinned against an
+                # unbounded replay of the same wave).
                 from ..state.spill import write_frontier_table
 
-                overflow = ranked[self.cfg.wave_url_cap :] + getattr(
+                admitted_ids = {iid for iid, _prio in order}
+                best: dict[str, tuple] = {}
+                for iid, key in ranked[self.cfg.wave_url_cap :] + getattr(
                     pending, "evicted_tail", []
-                )
+                ):
+                    if iid in admitted_ids:
+                        continue
+                    cur = best.get(iid)
+                    if cur is None or key < cur:
+                        best[iid] = key
+                overflow = sorted(best.items(), key=lambda kv: kv[1])
                 write_frontier_table(self._frontier_dir, wave, overflow)
             # politeness admission, batched per shard; host bucketing
             # vectorized (searchsorted over the host layout, no per-URL Python)

@@ -215,7 +215,10 @@ class BoundedPending(dict):
         self.discovery = 0
         self.protect_rank = -1
         self.dropped = 0
-        self.evicted_tail: list[tuple[str, tuple]] = []  # last compaction's tail
+        # ALL evictions of this (per-wave) object, accumulated across
+        # compactions — the frontier-table overflow sink must see every
+        # evicted want, not just the last compaction's tail
+        self.evicted_tail: list[tuple[str, tuple]] = []
 
     def want(self, iid: str, depth: int, rank: int) -> None:
         cur = self.get(iid)
@@ -241,7 +244,7 @@ class BoundedPending(dict):
         rest = [kv for kv in items if kv[1][1] > self.protect_rank]
         keep, tail = rest[: self.cap], rest[self.cap :]
         self.dropped += len(tail)
-        self.evicted_tail = tail
+        self.evicted_tail.extend(tail)
         self.clear()
         self.update(protected)
         self.update(keep)

@@ -503,3 +503,73 @@ def test_engine_parity_distributed_replay(ray_session, corpus, small_cfg):
     assert dist.domain_status == base.domain_status
     base.shutdown()
     dist.shutdown()
+
+
+def test_frontier_overflow_under_pressure(ray_session, corpus, small_cfg, tmp_path):
+    """SURVEY §7's frontier table proven as an OVERFLOW SINK, not just
+    observability: a tiny state_cap forces BoundedPending compactions to
+    evict live want-set traffic, and each wave's frontier parquet must equal
+    the wanted-but-not-admitted set of an UNBOUNDED replay of the same wave
+    (recorded by a resident reference engine) — while crawl outputs stay
+    byte-equal to the sequential oracle."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cap = 6
+
+    class RecordingEngine(CrawlEngine):
+        """Resident (unbounded pending) run recording each wave's overflow."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.wave_overflow: list[set] = []
+            self.total_dropped = 0
+
+        def _replay(self):
+            p = super()._replay()
+            ranked = sorted(p.items(), key=lambda kv: kv[1])
+            self.wave_overflow.append(
+                {(iid, k[0], k[1]) for iid, k in ranked[self.cfg.wave_url_cap:]}
+            )
+            self.total_dropped += getattr(p, "dropped", 0)
+            return p
+
+    ref = RecordingEngine(corpus, small_cfg, CrawlConfig(wave_url_cap=cap)).run()
+
+    spill = str(tmp_path / "spill_pressure")
+    eng = RecordingEngine(
+        corpus, small_cfg, CrawlConfig(state_cap=4, wave_url_cap=cap), spill_dir=spill
+    ).run()
+
+    # the compaction machinery actually carried traffic (evictions happened)
+    assert eng.total_dropped > 0, "state_cap=4/cap=6 produced no evictions — no pressure"
+
+    # crawl outputs still byte-equal to the oracle
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    log = eng.crawl_log_table()
+    got_log = list(zip(log["domain"].to_pylist(), log["url"].to_pylist(), log["seq"].to_pylist()))
+    assert got_log == [(r[0], r[1], r[6]) for r in oracle.crawl_log]
+    assert eng.link_dict == oracle.url_seen
+    assert eng.domain_status == oracle.domain_status
+
+    # frontier tables == the evicted/non-admitted want-set, wave by wave
+    files = sorted(glob.glob(os.path.join(spill, "frontier", "frontier_wave*.parquet")))
+    assert files, "no frontier tables were written under pressure"
+    got = {}
+    for f in files:
+        w = int(os.path.basename(f)[len("frontier_wave"):-len(".parquet")])
+        t = pq.read_table(f)
+        got[w] = set(
+            zip(t["image_id"].to_pylist(), t["depth"].to_pylist(), t["rank"].to_pylist())
+        )
+    want = {w: ov for w, ov in enumerate(ref.wave_overflow) if ov}
+    assert got == want
+
+    ref.shutdown()
+    eng.shutdown()
