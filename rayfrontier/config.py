@@ -45,6 +45,23 @@ class CrawlConfig:
                                        # (19% faster, identical outputs).
                                        # Rule: replay spread over many waves
                                        # → on; single tail burst → off.
+    sharded_commit: bool = False       # run the COMMITTED replay on the
+                                       # tentative range actors (requires
+                                       # tentative_shards > 1): every wave all
+                                       # uncommitted ranges replay their
+                                       # domains in parallel against wave-start
+                                       # state; the driver consumes results in
+                                       # rank order, validating each domain's
+                                       # cross-range reads and recomputing
+                                       # conflicted suffixes with the exact
+                                       # burst delta. Outputs byte-identical
+                                       # (parity-tested); converts the driver's
+                                       # O(total-URLs) per-URL Python into
+                                       # C-speed bulk dict merges + O(ranges)
+                                       # sequencing. Mutually exclusive with
+                                       # overlap_replay (both re-enter the
+                                       # committed pass; the engine rejects
+                                       # the combination).
     state_cap: int | None = None       # bounded-driver-state mode (SURVEY §8):
                                        # hot-artifact cap before consumed
                                        # artifacts spill to mmap'd Arrow files,

@@ -427,6 +427,91 @@ class _HashSetOverlay:
         return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 
+class _CommittedLaneOverlay:
+    """String-keyed link overlay for the SHARDED COMMITTED replay on a range
+    actor (cfg.sharded_commit). Exactness layout, nearest-first:
+
+      * this domain's writes      → ``local`` (str → count) — exact
+      * this lane's prior commits → ``lane``  (str → count) — exact
+      * everything older          → ``base``  (sorted uint64 href hashes)
+
+    The base test is ONE-SIDED: a hash hit can (≈2^-64 per pair) be a
+    collision with a different string, so every base-claimed sighting is
+    recorded in ``bumped_base`` and the driver verifies each such href
+    against its authoritative string dict before accepting the domain — a
+    miss rejects the domain into an exact re-walk (never wrong output). A
+    base MISS is always exact (same string ⇒ same hash ⇒ hash present).
+    """
+
+    hash_keyed = False
+    __slots__ = ("base", "lane", "local", "bumped_base")
+
+    def __init__(self, base_sorted: np.ndarray, lane: dict):
+        self.base = base_sorted
+        self.lane = lane
+        self.local: dict[str, int] = {}
+        self.bumped_base: dict[str, int] = {}
+
+    def _in_base(self, k: str) -> bool:
+        b = self.base
+        if not b.size:
+            return False
+        h = hash_text(k)
+        p = int(np.searchsorted(b, h))
+        return p < b.size and int(b[p]) == h
+
+    def contains(self, k: str) -> bool:
+        return k in self.local or k in self.lane or self._in_base(k)
+
+    def bump(self, k: str) -> None:
+        loc = self.local
+        if k in loc:
+            loc[k] += 1
+        elif k in self.lane:
+            # absolute count continues the lane's — valid because only THIS
+            # lane writes k until apply() folds the lane into the base
+            loc[k] = self.lane[k] + 1
+        else:  # claimed seen via the hash base — driver-validated
+            self.bumped_base[k] = self.bumped_base.get(k, 0) + 1
+
+    def mark(self, k: str) -> None:
+        self.local[k] = 0
+
+
+class _CommittedPolicyOverlay:
+    """Int-keyed (text_hash) policy overlay for the sharded committed replay.
+    Base membership is EXACT — the stored uint64s ARE the keys (no string
+    hashing) — so first-wins decisions need no driver collision guard; only
+    cross-range SAME-BURST claims are validated (policy_new ∩ earlier burst
+    claims ⇒ conflict ⇒ exact recompute)."""
+
+    __slots__ = ("base", "lane", "local")
+
+    def __init__(self, base_sorted: np.ndarray, lane: dict):
+        self.base = base_sorted
+        self.lane = lane
+        self.local: dict[int, str] = {}
+
+    def __contains__(self, th: int) -> bool:
+        if th in self.local or th in self.lane:
+            return True
+        b = self.base
+        if not b.size:
+            return False
+        p = int(np.searchsorted(b, th))
+        return p < b.size and int(b[p]) == th
+
+    def set(self, th: int, domain: str) -> None:
+        self.local[th] = domain
+
+    def get(self, k, default=None):
+        if k in self.local:
+            return self.local[k]
+        if k in self.lane:
+            return self.lane[k]
+        return default
+
+
 class _ActorArtifacts:
     """Artifact lookup over plasma-shared Arrow wave tables (zero-copy).
 
@@ -534,15 +619,104 @@ class _ReplayRangeActor:
         self.policy_base = np.empty(0, dtype=np.uint64)
         self.domains = domains
         self.lo, self.hi = lo, hi
+        # committed lane (cfg.sharded_commit): this range's authoritative
+        # committed-replay state — pointer, suspended blocked replay, and the
+        # lane dicts holding commits not yet folded into the hash bases.
+        # The lane dicts are cleared IN PLACE (identity stable: suspended
+        # overlays hold references) whenever apply() folds a driver delta —
+        # any driver-shipped delta covers every lane entry, because the
+        # driver merges lane writes synchronously before shipping anything.
+        self.c_next: int | None = None  # None = trust the first driver call
+        self.c_susp: "_DomainReplay | None" = None
+        self.c_link: dict[str, int] = {}
+        self.c_policy: dict[int, str] = {}
 
     def apply(self, link_h, policy_h, art_tables) -> None:
         if link_h is not None and len(link_h):
             self.link_base = np.union1d(self.link_base, link_h)
+            self.c_link.clear()
         if policy_h is not None and len(policy_h):
             self.policy_base = np.union1d(self.policy_base, policy_h)
+            self.c_policy.clear()
         if art_tables is not None:
             for t in art_tables if isinstance(art_tables, list) else [art_tables]:
                 self.view.artifacts.add_wave(t)
+
+    def reset_lane(self) -> None:
+        """Discard unconsumed speculative committed state (driver-directed)."""
+        self.c_link.clear()
+        self.c_policy.clear()
+        self.c_susp = None
+        self.c_next = None
+
+    def commit_range(self, prefix_from: int, link_h=None, policy_h=None,
+                     reset: bool = False, track_dead: bool = False,
+                     want_cap: int = 0) -> dict:
+        """COMMITTED replay of ``domains[max(lo, prefix_from):hi]`` on this
+        range's lane (cfg.sharded_commit). Returns per-domain decision
+        records for the driver to validate and sequence — the acceptance
+        protocol lives in ``CrawlEngine._advance_committed_sharded``. A
+        blocked domain keeps its suspended replay here and resumes on the
+        next call (same semantics as the driver's serial suspension)."""
+        from ..state.spill import PendingDict
+
+        if reset:
+            self.reset_lane()
+        self.apply(link_h, policy_h, None)
+        start = max(self.lo, prefix_from)
+        if self.c_next is None:
+            self.c_next = start
+        elif self.c_next != start:
+            raise RuntimeError(
+                f"committed-lane pointer skew: lane at {self.c_next}, driver "
+                f"says {start} — driver must reset after unconsumed speculation"
+            )
+        if self.c_susp is not None and self.c_susp.rank != start:
+            self.c_susp = None
+        pending = PendingDict()
+        out: list[dict] = []
+        blocked: dict | None = None
+        rank = start
+        while rank < self.hi:
+            rep = self.c_susp
+            if rep is not None:
+                # base arrays are REPLACED by apply() (union1d), not mutated —
+                # rebind so the suspension sees post-apply membership
+                rep.link_ov.base = self.link_base
+                rep.policy_ov.base = self.policy_base
+                done, status = rep.resume(pending)
+            else:
+                link_ov = _CommittedLaneOverlay(self.link_base, self.c_link)
+                policy_ov = _CommittedPolicyOverlay(self.policy_base, self.c_policy)
+                rep = _DomainReplay(self.view, link_ov, policy_ov, pending, rank)
+                if track_dead:
+                    rep.consumed = []
+                done, status = rep.run(self.domains[rank])
+            if not done:
+                self.c_susp = rep
+                blocked = {"rank": rank, "iid": rep.blocked_iid}
+                break
+            self.c_susp = None
+            out.append(
+                {
+                    "rank": rank,
+                    "status": status,
+                    "sim_avg": rep.sim_avg,
+                    "rows": rep.rows,
+                    "link_local": rep.link_ov.local,
+                    "link_bumped": rep.link_ov.bumped_base,
+                    "policy_new": rep.policy_ov.local,
+                    "consumed": rep.consumed,
+                }
+            )
+            self.c_link.update(rep.link_ov.local)
+            self.c_policy.update(rep.policy_ov.local)
+            rank += 1
+        self.c_next = rank
+        wants = dict(pending)
+        if want_cap and len(wants) > want_cap:
+            wants = dict(sorted(wants.items(), key=lambda kv: kv[1])[:want_cap])
+        return {"domains": out, "blocked": blocked, "wants": wants, "next": rank}
 
     def replay(self, prefix: int, link_h, policy_h, art_table, flow_in, cap: int = 0):
         """Apply this wave's deltas, then tentatively replay
@@ -639,6 +813,17 @@ class CrawlEngine:
         self.corpus_dir = corpus_dir
         self.dcfg = dcfg
         self.cfg = cfg or CrawlConfig()
+        if self.cfg.sharded_commit:
+            if self.cfg.tentative_shards <= 1:
+                raise ValueError(
+                    "sharded_commit rides the tentative range actors: set "
+                    "tentative_shards > 1"
+                )
+            if self.cfg.overlap_replay:
+                raise ValueError(
+                    "sharded_commit and overlap_replay both re-enter the "
+                    "committed pass; pick one"
+                )
         self.store = PagesStore(corpus_dir, dcfg.n_shards)
         self.resolver = SyntheticStore(dcfg)  # pure URL→index topology
         self.robots = robots
@@ -709,6 +894,10 @@ class CrawlEngine:
             self.fetched_ids = set()
             self._dead_ids = []
         self._actors = None
+        self._lane_dirty: list[bool] = []  # sized on replay-actor creation
+        # sharded-commit observability: accepted speculative domains, range
+        # conflicts (exact recompute), collision fallbacks (serial span)
+        self.commit_stats = {"spec_accepted": 0, "conflicts": 0, "collision_rewalks": 0}
         self._resolve_cache: dict[str, int | None] = {}
         self._block_refs: dict[int, "ray.ObjectRef"] | None = None  # noqa: F821
         self._replay_actors: list | None = None
@@ -773,7 +962,8 @@ class CrawlEngine:
         return self._actors
 
     # -- replay ----------------------------------------------------------------
-    def _advance_committed(self, pending: dict[str, tuple] | None) -> None:
+    def _advance_committed(self, pending: dict[str, tuple] | None,
+                           until: int | None = None, burst=None) -> None:
         """Advance the committed prefix as far as the artifact cache allows.
 
         Called from the top of every wave's ``_replay`` with the wave's
@@ -786,6 +976,10 @@ class CrawlEngine:
         and burning it on replay measurably slowed tail-burst crawls, while
         wave-spread (steady-state / politeness-bound) crawls gain 14-19%
         (see the NOTE in ``_fetch`` and the A/B in ``config.py``).
+
+        ``until``/``burst`` serve the sharded-commit collision fallback:
+        walk only ``[prefix, until)`` and report committed writes into the
+        burst accumulators (see ``_advance_committed_sharded``).
         """
         if (
             pending is None
@@ -795,7 +989,8 @@ class CrawlEngine:
             return
         scratch = pending  # None ⇒ fetch-time advance, wants suppressed
         track_dead = self.cfg.state_cap is not None
-        while self.prefix < len(self.domains):
+        stop = len(self.domains) if until is None else min(until, len(self.domains))
+        while self.prefix < stop:
             if scratch is not None and hasattr(scratch, "protect_rank"):
                 # bounded pending: wants of the domain currently committing
                 # must survive compaction (the crawl's progress guarantee)
@@ -829,6 +1024,14 @@ class CrawlEngine:
             if self.ckpt:
                 self._ckpt_link_delta.update(link_ov.local)
                 self._ckpt_policy_delta.update(policy_ov.local)
+            if burst is not None:
+                # sharded-commit fallback span: report this commit's writes so
+                # later ranges' conflict tests and recompute deltas see them
+                burst_link, burst_policy, w_link, w_policy = burst
+                burst_link.extend(link_ov.local)
+                w_link.update(link_ov.local)
+                burst_policy.extend(policy_ov.local)
+                w_policy.update(policy_ov.local)
             link_ov.commit()
             policy_ov.commit()
             for url, sim, ok, valid, dup in rep.rows:
@@ -844,6 +1047,200 @@ class CrawlEngine:
         else:
             self._blocked_iid = None
             self._suspended = None
+
+    def _advance_committed_sharded(self, pending) -> None:
+        """Sharded committed pass (cfg.sharded_commit; SURVEY §8 contract).
+
+        Every uncommitted range SPECULATIVELY replays its domains in
+        parallel against wave-start committed state (commit_range on the
+        pinned range actors); the driver consumes results in rank order and
+        accepts a domain iff
+
+          (1) none of its first-sight link marks collide with a link marked
+              earlier in this burst by another range (its speculation kept a
+              link the serial replay skips),
+          (2) none of its first-wins policy claims collide with a policy
+              hash claimed earlier in this burst, and
+          (3) every href it claims was already-seen via the hash base is
+              present in the driver's authoritative string dict (one-sided
+              64-bit collision guard — a base MISS is exact by construction).
+
+        The first rejected domain aborts its range's speculation; the driver
+        re-issues that range from the rejected domain with the exact burst
+        delta (lane reset + hashes of every commit this burst), so
+        recomputation is O(conflicted suffix). A re-issued result can only be
+        rejected by (3) — a true 64-bit string collision — which falls back
+        to the exact serial walk of that range on the driver. Blocked domains
+        keep their suspended replay on the actor and resume next wave.
+
+        Outputs are byte-identical to the serial committed pass (parity
+        suite): acceptance is in rank order, and every accepted decision was
+        validated against the same authoritative state the serial replay
+        would have seen. The driver's per-URL work drops from Python replay
+        decisions (~10 µs/URL) to bulk dict merges + set intersections
+        (C-speed) plus O(ranges) sequencing.
+        """
+        import ray
+
+        from ..functions.hashing import fnv1a64_var
+
+        if self.prefix >= len(self.domains):
+            self._blocked_iid = None
+            self._suspended = None
+            return
+        actors = self._ensure_replay_actors()
+        R = self.cfg.tentative_shards
+        bounds = self._replay_bounds
+        track_dead = self.cfg.state_cap is not None
+        # driver-side suspension never coexists with actor lanes (only the
+        # collision fallback creates one, and its domain re-walks exactly)
+        self._suspended = None
+
+        # wave-start sync: ship everything accumulated since the last apply
+        # (normally just last wave's fetched artifacts — commit deltas ship
+        # with the tentative pass). Covered lanes clear on the actor.
+        buf = self._delta_buf
+        self._delta_buf = {"link": [], "policy": [], "art": _new_art_cols()}
+        link_h = fnv1a64_var(buf["link"]) if buf["link"] else None
+        policy_h = (
+            np.fromiter(buf["policy"], dtype=np.uint64, count=len(buf["policy"]))
+            if buf["policy"]
+            else None
+        )
+        art_table = _art_delta_table(buf["art"])
+        if link_h is not None or policy_h is not None or art_table is not None:
+            link_ref = ray.put(link_h) if link_h is not None else None
+            policy_ref = ray.put(policy_h) if policy_h is not None else None
+            art_ref = ray.put(art_table) if art_table is not None else None
+            ray.get([a.apply.remote(link_ref, policy_ref, art_ref) for a in actors])
+
+        # burst accumulators: every commit this wave, for later ranges'
+        # conflict tests (w_*) and recompute deltas (burst_*)
+        burst_link: list[str] = []
+        burst_policy: list[int] = []
+        w_link: set[str] = set()
+        w_policy: set[int] = set()
+        burst = (burst_link, burst_policy, w_link, w_policy)
+
+        cap = self.cfg.wave_url_cap
+        futs: dict[int, "ray.ObjectRef"] = {}
+        for r in range(R):
+            start = max(bounds[r], self.prefix)
+            if start >= bounds[r + 1]:
+                continue
+            futs[r] = actors[r].commit_range.remote(
+                start, None, None, self._lane_dirty[r], track_dead, cap
+            )
+            self._lane_dirty[r] = True  # until fully consumed
+
+        stop = False
+        for r in sorted(futs):
+            if stop:
+                ray.get(futs[r])  # drain; lane stays dirty → reset next wave
+                continue
+            verdict = self._consume_commit_result(
+                ray.get(futs[r]), pending, burst, track_dead
+            )
+            if verdict == "conflict":
+                # exact recompute of the conflicted suffix with the burst delta
+                self.commit_stats["conflicts"] += 1
+                bl_ref = ray.put(fnv1a64_var(burst_link)) if burst_link else None
+                bp_ref = (
+                    ray.put(np.fromiter(burst_policy, dtype=np.uint64, count=len(burst_policy)))
+                    if burst_policy
+                    else None
+                )
+                f2 = actors[r].commit_range.remote(
+                    self.prefix, bl_ref, bp_ref, True, track_dead, cap
+                )
+                verdict = self._consume_commit_result(
+                    ray.get(f2), pending, burst, track_dead
+                )
+                if verdict == "conflict":
+                    # only a true 64-bit string collision reaches here: the
+                    # driver's exact serial walk finishes the range. The lane
+                    # still holds the rejected suffix's writes → stays dirty.
+                    self.commit_stats["collision_rewalks"] += 1
+                    self._advance_committed(pending, until=bounds[r + 1], burst=burst)
+                    if self._suspended is not None:
+                        stop = True  # serial span blocked mid-range
+                    verdict = "serial"
+            if verdict == "blocked":
+                self._lane_dirty[r] = False  # lane == accepted writes
+                stop = True
+            elif verdict == "ok" and self.prefix >= bounds[r + 1]:
+                self._lane_dirty[r] = False
+        if not stop and self.prefix >= len(self.domains):
+            self._blocked_iid = None
+
+    def _consume_commit_result(self, res: dict, pending, burst, track_dead) -> str:
+        """Validate + sequence one commit_range result against the
+        authoritative driver state. Returns 'ok' (range exhausted), 'blocked'
+        (accepted through a suspended domain), or 'conflict' (first rejected
+        domain left at self.prefix for the caller to re-issue)."""
+        burst_link, burst_policy, w_link, w_policy = burst
+        for d in res["domains"]:
+            if d["rank"] != self.prefix:
+                return "conflict"  # stale/overlapping speculation
+            link_local, link_bumped = d["link_local"], d["link_bumped"]
+            policy_new = d["policy_new"]
+            ok = (
+                (not w_link or w_link.isdisjoint(link_local))
+                and (not w_policy or w_policy.isdisjoint(policy_new))
+                and all(h in self.link_dict for h in link_bumped)
+            )
+            if not ok:
+                return "conflict"
+            # accept — mirror the serial commit block exactly
+            domain = self.domains[d["rank"]]
+            if hasattr(pending, "protect_rank"):
+                pending.protect_rank = self.prefix
+            self._delta_buf["link"].extend(link_local)
+            self._delta_buf["link"].extend(link_bumped)
+            self._delta_buf["policy"].extend(policy_new)
+            if self.ckpt:
+                self._ckpt_link_delta.update(link_local)
+                self._ckpt_policy_delta.update(policy_new)
+            for h, c in link_local.items():
+                self.link_dict[h] = c
+            for h, n in link_bumped.items():
+                self.link_dict[h] += n
+            if self.ckpt:
+                for h in link_bumped:
+                    self._ckpt_link_delta[h] = self.link_dict[h]
+            for th, dom in policy_new.items():
+                self.policy_dict[th] = dom
+            for url, sim, okk, valid, dup in d["rows"]:
+                self.crawl_rows.append((domain, url, sim, okk, valid, dup, self.seq))
+                self.seq += 1
+            self.domain_status[domain] = d["status"]
+            self.domain_sim_avg[domain] = d["sim_avg"]
+            if d["consumed"]:
+                self._dead_ids.extend(d["consumed"])
+            self.prefix += 1
+            self.commit_stats["spec_accepted"] += 1
+            if track_dead:
+                self._inline_spill_step()
+            burst_link.extend(link_local)
+            burst_link.extend(link_bumped)
+            w_link.update(link_local)
+            burst_policy.extend(policy_new)
+            w_policy.update(policy_new)
+        b = res["blocked"]
+        if b is not None:
+            if b["rank"] != self.prefix:
+                return "conflict"
+            if pending is not None:
+                if hasattr(pending, "protect_rank"):
+                    pending.protect_rank = b["rank"]
+                for iid, key in res["wants"].items():
+                    if iid in self.artifacts:
+                        continue
+                    pending.merge_key(iid, key)
+                pending.maybe_compact()
+            self._blocked_iid = b["iid"]
+            return "blocked"
+        return "ok"
 
     def _inline_spill_step(self) -> None:
         """Mid-replay bounded-state housekeeping (cfg.state_cap only).
@@ -890,7 +1287,10 @@ class CrawlEngine:
         pending = (
             BoundedPending(self.cfg.wave_url_cap) if self.cfg.state_cap else PendingDict()
         )
-        self._advance_committed(pending)
+        if self.cfg.sharded_commit:
+            self._advance_committed_sharded(pending)
+        else:
+            self._advance_committed(pending)
         # tentative pass: widen prefetch for all remaining domains, with the
         # tentative seen-dict overlay FLOWING across domains in rank order —
         # the closest cheap approximation of the state each domain's committed
@@ -974,6 +1374,9 @@ class CrawlEngine:
         ray.get([a.apply.remote(link_ref, policy_ref, art_ref) for a in actors])
         self._delta_buf = {"link": [], "policy": [], "art": _new_art_cols()}
         self._replay_actors = actors
+        # sharded-commit bookkeeping: a lane is dirty when its actor holds
+        # speculative committed writes the driver did not consume
+        self._lane_dirty = [False] * R
         return actors
 
     def _replay_distributed(self, pending: dict[str, tuple]) -> None:
