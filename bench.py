@@ -55,11 +55,25 @@ def _bench_cfgs():
         n_images=N_IMAGES, n_hosts=N_HOSTS, n_shards=N_SHARDS, links_per_page=(2, 8)
     )
     ccfg = CrawlConfig(per_host_wave_cap=1024, host_tokens_per_wave=1024, wave_url_cap=1_000_000)
-    if os.environ.get("GRAFT_OVERLAP_REPLAY"):
-        from dataclasses import replace
+    from dataclasses import replace
 
+    if os.environ.get("GRAFT_WAVE_CAP"):
+        # steady-state regime knob (the 3M wave-spread A/Bs)
+        ccfg = replace(ccfg, wave_url_cap=int(os.environ["GRAFT_WAVE_CAP"]))
+    if os.environ.get("GRAFT_MAIN_STATE_CAP"):
+        ccfg = replace(ccfg, state_cap=int(os.environ["GRAFT_MAIN_STATE_CAP"]))
+    if os.environ.get("GRAFT_OVERLAP_REPLAY"):
         # dedicated-driver-core mode (pin N+1 cores, RAY_GRAFT_CPUS=N)
         ccfg = replace(ccfg, overlap_replay=True)
+    if os.environ.get("GRAFT_SHARDED_COMMIT"):
+        # committed replay on the range actors (speculate→validate→sequence)
+        ccfg = replace(
+            ccfg,
+            sharded_commit=True,
+            tentative_shards=int(os.environ.get("GRAFT_TENTATIVE_SHARDS", "8")),
+        )
+    elif os.environ.get("GRAFT_TENTATIVE_SHARDS"):
+        ccfg = replace(ccfg, tentative_shards=int(os.environ["GRAFT_TENTATIVE_SHARDS"]))
     return dcfg, ccfg
 
 
@@ -129,13 +143,16 @@ def run_crawl_bench() -> dict:
     sec = time.time() - t0
     eng.shutdown()
     n_urls = eng.seq + len(eng.domains)  # link attempts + landings
-    return {
+    out = {
         "sec": sec,
         "urls": n_urls,
         "pages_fetched": eng.n_fetched,
         "urls_per_sec": n_urls / sec,
         "phase_secs": {k: round(v, 3) for k, v in eng.phase_secs.items()},
     }
+    if ccfg.sharded_commit:
+        out["commit_stats"] = dict(eng.commit_stats)
+    return out
 
 
 def run_query_bench() -> dict:

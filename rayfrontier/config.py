@@ -50,18 +50,22 @@ class CrawlConfig:
                                        # tentative_shards > 1): every wave all
                                        # uncommitted ranges replay their
                                        # domains in parallel against wave-start
-                                       # state; the driver consumes results in
-                                       # rank order, validating each domain's
-                                       # cross-range reads and recomputing
-                                       # conflicted suffixes with the exact
-                                       # burst delta. Outputs byte-identical
+                                       # state; the driver consumes the
+                                       # decision records in rank order,
+                                       # validating each domain's cross-range
+                                       # reads, resolving policy first-wins
+                                       # itself (deferred — policy never
+                                       # alters a walk), and repairing any
+                                       # conflicted domain in place with an
+                                       # exact one-domain serial walk.
+                                       # Outputs byte-identical
                                        # (parity-tested); converts the driver's
                                        # O(total-URLs) per-URL Python into
-                                       # C-speed bulk dict merges + O(ranges)
-                                       # sequencing. Mutually exclusive with
-                                       # overlap_replay (both re-enter the
-                                       # committed pass; the engine rejects
-                                       # the combination).
+                                       # C-speed bulk dict merges + O(rows)
+                                       # first-wins resolution. Mutually
+                                       # exclusive with overlap_replay (both
+                                       # re-enter the committed pass; the
+                                       # engine rejects the combination).
     state_cap: int | None = None       # bounded-driver-state mode (SURVEY §8):
                                        # hot-artifact cap before consumed
                                        # artifacts spill to mmap'd Arrow files,

@@ -83,14 +83,16 @@ class Overlay:
 
     # link-extraction surface (crawler.py:110-115 semantics): seen check,
     # revisit bump, first-sight mark — keyed by href string here; the replay
-    # range actors substitute a hash-keyed membership overlay (hash_keyed)
-    def contains(self, k) -> bool:
+    # range actors substitute a hash-keyed membership overlay (hash_keyed).
+    # ``inb`` is _extract's optional vectorized base-membership hint; dict
+    # bases answer exactly, so it is ignored here.
+    def contains(self, k, inb=None) -> bool:
         return k in self.local or k in self.base
 
-    def bump(self, k) -> None:
+    def bump(self, k, inb=None) -> None:
         self.local[k] = self.get(k) + 1
 
-    def mark(self, k) -> None:
+    def mark(self, k, inb=None) -> None:
         self.local[k] = 0
 
     def commit(self) -> None:
@@ -150,6 +152,16 @@ class _DomainReplay:
         # only, engine-armed): once the domain commits, these are dead for the
         # committed replay and eligible to spill (bounded-state mode)
         self.consumed: list[str] | None = None
+        # DEFERRED-POLICY mode (policy_ov is None): rows are recorded with
+        # raw sim and dup=False, and ``row_th`` (armed by the committed range
+        # lane) captures each fetched-ok row's text_hash so the DRIVER can
+        # resolve first-wins dup/sim in exact rank order. Policy state never
+        # alters the walk (links/wants/blocking are link-overlay-driven), so
+        # deferral is exact — and it removes every cross-range first-wins
+        # race from the sharded-commit conflict surface. The tentative pass
+        # also runs deferred with row_th unarmed: its rows are discarded, so
+        # probing policy state there was pure per-link overhead.
+        self.row_th: list[int | None] | None = None
 
     def _want(self, iid: str, depth: int) -> None:
         if self.pending is None:  # fetch-time advance: wants are discarded
@@ -175,7 +187,15 @@ class _DomainReplay:
 
     def _extract(self, full_url: str, art: "Artifact") -> list[str]:
         """Stateful link filtering over candidate hrefs (crawler.py:104-138
-        order: raw-href seen check → junk filters → completion → fromkeys)."""
+        order: raw-href seen check → junk filters → completion → fromkeys).
+
+        When the artifact carries precomputed href hashes and the overlay's
+        base is a sorted hash array (replay range actors, tentative AND
+        committed lanes), base membership for the WHOLE href list is one
+        vectorized ``searchsorted`` handed to the overlay as a per-href hint
+        — the scalar path (a Python FNV per href plus a scalar searchsorted
+        per probe) was the dominant per-URL cost of the sharded committed
+        replay."""
         ov = self.link_ov
         hrefs = art.hrefs
         keys = art.href_hashes if ov.hash_keyed else hrefs
@@ -183,20 +203,51 @@ class _DomainReplay:
             from ..functions.hashing import hash_text
 
             keys = tuple(hash_text(h) for h in hrefs)
+        inb = None
+        base = getattr(ov, "base", None)
+        if (
+            hrefs
+            and art.href_hashes is not None
+            and isinstance(base, np.ndarray)
+        ):
+            hs = np.asarray(art.href_hashes, dtype=np.uint64)
+            if base.size:
+                p = np.searchsorted(base, hs)
+                pc = np.minimum(p, base.size - 1)
+                inb = ((p < base.size) & (base[pc] == hs)).tolist()
+            else:
+                inb = [False] * len(hrefs)
         links: list[str] = []
-        for href, key in zip(hrefs, keys):
-            if ov.contains(key):
-                ov.bump(key)
+        if inb is None:
+            it = zip(hrefs, keys, (None,) * len(hrefs))
+        else:
+            it = zip(hrefs, keys, inb)
+        # committed-lane overlays count junk sightings relatively BEFORE the
+        # seen test (junk never enters ``links``, so its seen-state cannot
+        # alter the walk — see _CommittedLaneOverlay). Other overlays keep
+        # the reference order exactly: seen check → bump/mark → junk filter.
+        sight_junk = getattr(ov, "sight_junk", None)
+        for href, key, b in it:
+            if sight_junk is not None:
+                low = href.lower()
+                if "javascript" in low or len(href) < 3 or "mailto:" in low:
+                    sight_junk(key)
+                    continue
+            if ov.contains(key, b):
+                ov.bump(key, b)
                 continue
-            ov.mark(key)
+            ov.mark(key, b)
             low = href.lower()
             if "javascript" in low or len(href) < 3 or "mailto:" in low:
                 continue
             links.append(complete_link(full_url, href))
         return list(dict.fromkeys(links))
 
-    def _add(self, url: str, sim: float, ok: bool, valid: bool, dup: bool) -> None:
+    def _add(self, url: str, sim: float, ok: bool, valid: bool, dup: bool,
+             th: int | None = None) -> None:
         self.rows.append((url, sim, ok, valid, dup))
+        if self.row_th is not None:
+            self.row_th.append(th)
         n = len(self.rows)
         self.sim_avg += (sim - self.sim_avg) / n
         if valid:
@@ -264,7 +315,14 @@ class _DomainReplay:
                     if l not in links:
                         links.append(l)
             sim = la.sim
-            if sim >= cfg.cos_sim_threshold:
+            if self.policy_ov is None:
+                # deferred policy (see __init__): raw row; the driver resolves
+                # first-wins dup/sim — ``valid`` is policy-independent
+                self._add(
+                    links[i], sim, True, sim >= cfg.cos_sim_threshold, False,
+                    th=la.text_hash,
+                )
+            elif sim >= cfg.cos_sim_threshold:
                 if la.text_hash in self.policy_ov:
                     self._add(links[i], 0.0, True, True, True)
                 else:
@@ -399,21 +457,24 @@ class _HashSetOverlay:
         )
         self.preloaded = frozenset(self.local)  # excluded from flow_out
 
-    def contains(self, h) -> bool:
+    def contains(self, h, inb: bool | None = None) -> bool:
         if h in self.local:
             return True
+        if inb is not None:  # _extract's vectorized base test (one numpy
+            return inb       # searchsorted per artifact, not per href)
         b = self.base
         if b.size:
             p = int(np.searchsorted(b, h))
             return p < b.size and int(b[p]) == h
         return False
 
-    __contains__ = contains
+    def __contains__(self, h) -> bool:  # policy surface: scalar probes
+        return self.contains(h)
 
-    def bump(self, h) -> None:  # revisit counts are committed-pass outputs only
+    def bump(self, h, inb=None) -> None:  # revisit counts are committed-pass outputs only
         pass
 
-    def mark(self, h) -> None:
+    def mark(self, h, inb=None) -> None:
         self.local.add(h)
 
     def get(self, k, default=None):  # count surface — membership-only here
@@ -429,28 +490,46 @@ class _HashSetOverlay:
 
 class _CommittedLaneOverlay:
     """String-keyed link overlay for the SHARDED COMMITTED replay on a range
-    actor (cfg.sharded_commit). Exactness layout, nearest-first:
+    actor (cfg.sharded_commit). Three write classes, by exactness role:
 
-      * this domain's writes      → ``local`` (str → count) — exact
-      * this lane's prior commits → ``lane``  (str → count) — exact
-      * everything older          → ``base``  (sorted uint64 href hashes)
+      * ``local`` — this domain's FIRST-SIGHT marks (str → self-revisit
+        count, absolute). The only class the driver conflict-tests: a mark
+        is a *decision* ("never seen before") that an earlier burst write
+        from another range invalidates. A lane-continuation or base bump is
+        NOT re-tested — its mark was validated when its domain was accepted
+        (folding continuations into the test self-conflicts the lane against
+        its own accepted writes: measured, EVERY multi-domain range result
+        rejected, re-issues re-tripping on their own accepted prefix).
+      * ``rel`` — RELATIVE +n bumps of keys seen via the lane or the hash
+        base. The driver validates existence (``k in link_dict``) and merges
+        ``+= n``; relative counts are exact under any cross-range
+        interleaving, and the existence check doubles as the one-sided
+        64-bit collision guard for base hits (a hash collision with a
+        different string misses the driver's authoritative dict and rejects
+        the domain into an exact re-walk — never wrong output; a base MISS
+        is always exact: same string ⇒ same hash ⇒ hash present).
+      * ``junk`` — RELATIVE sightings of junk hrefs ("javascript"/len<3/
+        "mailto"). A junk href NEVER enters the link list, so its seen-state
+        cannot alter the walk — only its count. Counting it relatively and
+        merging order-independently on the driver (``+= n`` if present else
+        ``= n-1``) removes it from conflict detection entirely; otherwise
+        corpus-universal junk keys mark-conflict EVERY range's first burst
+        and serialize R-1 full-range re-walks (measured at 300k: 7
+        conflicts, all chained).
 
-    The base test is ONE-SIDED: a hash hit can (≈2^-64 per pair) be a
-    collision with a different string, so every base-claimed sighting is
-    recorded in ``bumped_base`` and the driver verifies each such href
-    against its authoritative string dict before accepting the domain — a
-    miss rejects the domain into an exact re-walk (never wrong output). A
-    base MISS is always exact (same string ⇒ same hash ⇒ hash present).
+    ``lane`` is a plain membership SET of this range's burst marks (counts
+    live on the driver), cleared in place when a driver delta covers it.
     """
 
     hash_keyed = False
-    __slots__ = ("base", "lane", "local", "bumped_base")
+    __slots__ = ("base", "lane", "local", "rel", "junk")
 
-    def __init__(self, base_sorted: np.ndarray, lane: dict):
+    def __init__(self, base_sorted: np.ndarray, lane: set):
         self.base = base_sorted
         self.lane = lane
         self.local: dict[str, int] = {}
-        self.bumped_base: dict[str, int] = {}
+        self.rel: dict[str, int] = {}
+        self.junk: dict[str, int] = {}
 
     def _in_base(self, k: str) -> bool:
         b = self.base
@@ -460,56 +539,23 @@ class _CommittedLaneOverlay:
         p = int(np.searchsorted(b, h))
         return p < b.size and int(b[p]) == h
 
-    def contains(self, k: str) -> bool:
-        return k in self.local or k in self.lane or self._in_base(k)
+    def contains(self, k: str, inb: bool | None = None) -> bool:
+        if k in self.local or k in self.rel or k in self.lane:
+            return True
+        return self._in_base(k) if inb is None else inb
 
-    def bump(self, k: str) -> None:
+    def bump(self, k: str, inb: bool | None = None) -> None:
         loc = self.local
         if k in loc:
             loc[k] += 1
-        elif k in self.lane:
-            # absolute count continues the lane's — valid because only THIS
-            # lane writes k until apply() folds the lane into the base
-            loc[k] = self.lane[k] + 1
-        else:  # claimed seen via the hash base — driver-validated
-            self.bumped_base[k] = self.bumped_base.get(k, 0) + 1
+        else:  # lane- or base-seen: relative, driver-validated + merged +=
+            self.rel[k] = self.rel.get(k, 0) + 1
 
-    def mark(self, k: str) -> None:
+    def mark(self, k: str, inb: bool | None = None) -> None:
         self.local[k] = 0
 
-
-class _CommittedPolicyOverlay:
-    """Int-keyed (text_hash) policy overlay for the sharded committed replay.
-    Base membership is EXACT — the stored uint64s ARE the keys (no string
-    hashing) — so first-wins decisions need no driver collision guard; only
-    cross-range SAME-BURST claims are validated (policy_new ∩ earlier burst
-    claims ⇒ conflict ⇒ exact recompute)."""
-
-    __slots__ = ("base", "lane", "local")
-
-    def __init__(self, base_sorted: np.ndarray, lane: dict):
-        self.base = base_sorted
-        self.lane = lane
-        self.local: dict[int, str] = {}
-
-    def __contains__(self, th: int) -> bool:
-        if th in self.local or th in self.lane:
-            return True
-        b = self.base
-        if not b.size:
-            return False
-        p = int(np.searchsorted(b, th))
-        return p < b.size and int(b[p]) == th
-
-    def set(self, th: int, domain: str) -> None:
-        self.local[th] = domain
-
-    def get(self, k, default=None):
-        if k in self.local:
-            return self.local[k]
-        if k in self.lane:
-            return self.lane[k]
-        return default
+    def sight_junk(self, k: str) -> None:
+        self.junk[k] = self.junk.get(k, 0) + 1
 
 
 class _ActorArtifacts:
@@ -616,42 +662,37 @@ class _ReplayRangeActor:
     def __init__(self, dcfg, cfg, domains, lo, hi, robots=None):
         self.view = _ReplayView(dcfg, cfg, _ActorArtifacts(), robots=robots)
         self.link_base = np.empty(0, dtype=np.uint64)
-        self.policy_base = np.empty(0, dtype=np.uint64)
         self.domains = domains
         self.lo, self.hi = lo, hi
         # committed lane (cfg.sharded_commit): this range's authoritative
         # committed-replay state — pointer, suspended blocked replay, and the
-        # lane dicts holding commits not yet folded into the hash bases.
-        # The lane dicts are cleared IN PLACE (identity stable: suspended
-        # overlays hold references) whenever apply() folds a driver delta —
-        # any driver-shipped delta covers every lane entry, because the
-        # driver merges lane writes synchronously before shipping anything.
+        # lane set holding burst marks not yet folded into the hash base.
+        # The lane is cleared IN PLACE (identity stable: suspended overlays
+        # hold a reference) whenever apply() folds a driver delta — any
+        # driver-shipped delta covers every lane entry, because the driver
+        # merges lane writes synchronously before shipping anything. Policy
+        # state lives ONLY on the driver (deferred first-wins resolution —
+        # see _DomainReplay.row_th).
         self.c_next: int | None = None  # None = trust the first driver call
         self.c_susp: "_DomainReplay | None" = None
-        self.c_link: dict[str, int] = {}
-        self.c_policy: dict[int, str] = {}
+        self.c_link: set[str] = set()  # burst marks; counts live on the driver
 
-    def apply(self, link_h, policy_h, art_tables) -> None:
+    def apply(self, link_h, art_tables) -> None:
         if link_h is not None and len(link_h):
             self.link_base = np.union1d(self.link_base, link_h)
             self.c_link.clear()
-        if policy_h is not None and len(policy_h):
-            self.policy_base = np.union1d(self.policy_base, policy_h)
-            self.c_policy.clear()
         if art_tables is not None:
             for t in art_tables if isinstance(art_tables, list) else [art_tables]:
                 self.view.artifacts.add_wave(t)
 
     def reset_lane(self) -> None:
-        """Discard unconsumed speculative committed state (driver-directed)."""
+        """Discard unconsumed/diverged speculative committed state."""
         self.c_link.clear()
-        self.c_policy.clear()
         self.c_susp = None
         self.c_next = None
 
-    def commit_range(self, prefix_from: int, link_h=None, policy_h=None,
-                     reset: bool = False, track_dead: bool = False,
-                     want_cap: int = 0) -> dict:
+    def commit_range(self, prefix_from: int, reset: bool = False,
+                     track_dead: bool = False, want_cap: int = 0) -> dict:
         """COMMITTED replay of ``domains[max(lo, prefix_from):hi]`` on this
         range's lane (cfg.sharded_commit). Returns per-domain decision
         records for the driver to validate and sequence — the acceptance
@@ -662,7 +703,6 @@ class _ReplayRangeActor:
 
         if reset:
             self.reset_lane()
-        self.apply(link_h, policy_h, None)
         start = max(self.lo, prefix_from)
         if self.c_next is None:
             self.c_next = start
@@ -683,12 +723,11 @@ class _ReplayRangeActor:
                 # base arrays are REPLACED by apply() (union1d), not mutated —
                 # rebind so the suspension sees post-apply membership
                 rep.link_ov.base = self.link_base
-                rep.policy_ov.base = self.policy_base
                 done, status = rep.resume(pending)
             else:
                 link_ov = _CommittedLaneOverlay(self.link_base, self.c_link)
-                policy_ov = _CommittedPolicyOverlay(self.policy_base, self.c_policy)
-                rep = _DomainReplay(self.view, link_ov, policy_ov, pending, rank)
+                rep = _DomainReplay(self.view, link_ov, None, pending, rank)
+                rep.row_th = []  # arm deferred-policy row hashes
                 if track_dead:
                     rep.consumed = []
                 done, status = rep.run(self.domains[rank])
@@ -701,16 +740,15 @@ class _ReplayRangeActor:
                 {
                     "rank": rank,
                     "status": status,
-                    "sim_avg": rep.sim_avg,
-                    "rows": rep.rows,
-                    "link_local": rep.link_ov.local,
-                    "link_bumped": rep.link_ov.bumped_base,
-                    "policy_new": rep.policy_ov.local,
+                    "rows": rep.rows,  # policy-unresolved (raw sim, dup=False)
+                    "row_th": rep.row_th,  # per-row text_hash, None if failed
+                    "link_local": rep.link_ov.local,  # first-sight marks only
+                    "link_rel": rep.link_ov.rel,  # relative lane/base bumps
+                    "link_junk": rep.link_ov.junk,  # relative junk sightings
                     "consumed": rep.consumed,
                 }
             )
             self.c_link.update(rep.link_ov.local)
-            self.c_policy.update(rep.policy_ov.local)
             rank += 1
         self.c_next = rank
         wants = dict(pending)
@@ -718,20 +756,20 @@ class _ReplayRangeActor:
             wants = dict(sorted(wants.items(), key=lambda kv: kv[1])[:want_cap])
         return {"domains": out, "blocked": blocked, "wants": wants, "next": rank}
 
-    def replay(self, prefix: int, link_h, policy_h, art_table, flow_in, cap: int = 0):
+    def replay(self, prefix: int, link_h, art_table, flow_in, cap: int = 0):
         """Apply this wave's deltas, then tentatively replay
         domains[max(lo, prefix):hi] against (committed state + the one-wave-
         stale cross-range href flow of earlier ranges). Returns
         (pending want-set — top ``cap`` priorities if capped, this range's
-        new href-hash flow)."""
+        new href-hash flow). Runs policy-deferred (policy_ov=None): policy
+        state never affects the walk, hence never the want-set."""
         from ..state.spill import PendingDict
 
-        self.apply(link_h, policy_h, art_table)
+        self.apply(link_h, art_table)
         link_ov = _HashSetOverlay(self.link_base, preload=flow_in)
-        policy_ov = _HashSetOverlay(self.policy_base)
         pending = PendingDict()
         for rank in range(max(self.lo, prefix), self.hi):
-            rep = _DomainReplay(self.view, link_ov, policy_ov, pending, rank)
+            rep = _DomainReplay(self.view, link_ov, None, pending, rank)
             rep.run(self.domains[rank])
         out = dict(pending)
         if cap and len(out) > cap:
@@ -751,8 +789,7 @@ class _ReplayRangeActor:
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
             ),
             "index_bytes": int(
-                self.link_base.nbytes + self.policy_base.nbytes
-                + art.all_ids.nbytes + art.wave_of.nbytes
+                self.link_base.nbytes + art.all_ids.nbytes + art.wave_of.nbytes
             ),
             "cache_entries": len(art.cache),
             "plasma_shared_bytes": int(sum(t.nbytes for _, t in art.waves)),
@@ -897,7 +934,7 @@ class CrawlEngine:
         self._lane_dirty: list[bool] = []  # sized on replay-actor creation
         # sharded-commit observability: accepted speculative domains, range
         # conflicts (exact recompute), collision fallbacks (serial span)
-        self.commit_stats = {"spec_accepted": 0, "conflicts": 0, "collision_rewalks": 0}
+        self.commit_stats = {"spec_accepted": 0, "repairs": 0}
         self._resolve_cache: dict[str, int | None] = {}
         self._block_refs: dict[int, "ray.ObjectRef"] | None = None  # noqa: F821
         self._replay_actors: list | None = None
@@ -906,7 +943,7 @@ class CrawlEngine:
         # state not yet shipped to the replay range actors (delta streams):
         # new hrefs / policy hashes as flat lists (hashed vectorized at ship
         # time), new artifacts as columnar buffers → one Arrow table per wave
-        self._delta_buf: dict = {"link": [], "policy": [], "art": _new_art_cols()}
+        self._delta_buf: dict = {"link": [], "art": _new_art_cols()}
         # state not yet persisted to the checkpoint (per-wave delta commits)
         self._ckpt_link_delta: dict[str, int] = {}
         self._ckpt_policy_delta: dict[int, str] = {}
@@ -1018,20 +1055,19 @@ class CrawlEngine:
             link_ov, policy_ov = rep.link_ov, rep.policy_ov
             if self.cfg.tentative_shards > 1:
                 # feed the delta stream BEFORE commit clears the overlays
-                # (keys only — the actors keep membership hashes, not counts)
+                # (keys only — the actors keep membership hashes, not counts;
+                # actors hold no policy state: first-wins is driver-resolved)
                 self._delta_buf["link"].extend(link_ov.local)
-                self._delta_buf["policy"].extend(policy_ov.local)
             if self.ckpt:
                 self._ckpt_link_delta.update(link_ov.local)
                 self._ckpt_policy_delta.update(policy_ov.local)
             if burst is not None:
-                # sharded-commit fallback span: report this commit's writes so
-                # later ranges' conflict tests and recompute deltas see them
-                burst_link, burst_policy, w_link, w_policy = burst
+                # sharded-commit repair span: report this commit's link writes
+                # so later records' mark-conflict tests see them (policy needs
+                # no burst bookkeeping — it is resolved on the driver)
+                burst_link, w_link = burst
                 burst_link.extend(link_ov.local)
                 w_link.update(link_ov.local)
-                burst_policy.extend(policy_ov.local)
-                w_policy.update(policy_ov.local)
             link_ov.commit()
             policy_ov.commit()
             for url, sim, ok, valid, dup in rep.rows:
@@ -1053,32 +1089,41 @@ class CrawlEngine:
 
         Every uncommitted range SPECULATIVELY replays its domains in
         parallel against wave-start committed state (commit_range on the
-        pinned range actors); the driver consumes results in rank order and
-        accepts a domain iff
+        pinned range actors); the driver consumes the per-domain decision
+        records in rank order and accepts a domain iff
 
           (1) none of its first-sight link marks collide with a link marked
-              earlier in this burst by another range (its speculation kept a
-              link the serial replay skips),
-          (2) none of its first-wins policy claims collide with a policy
-              hash claimed earlier in this burst, and
-          (3) every href it claims was already-seen via the hash base is
-              present in the driver's authoritative string dict (one-sided
-              64-bit collision guard — a base MISS is exact by construction).
+              earlier in this burst (by another range, or by a repaired
+              domain — its speculation kept a link the serial replay skips),
+          (2) every relative bump references a key present in the driver's
+              authoritative string dict (covers phantom lane references
+              after a repair AND the one-sided 64-bit base-hash collision;
+              a base MISS is exact by construction).
 
-        The first rejected domain aborts its range's speculation; the driver
-        re-issues that range from the rejected domain with the exact burst
-        delta (lane reset + hashes of every commit this burst), so
-        recomputation is O(conflicted suffix). A re-issued result can only be
-        rejected by (3) — a true 64-bit string collision — which falls back
-        to the exact serial walk of that range on the driver. Blocked domains
-        keep their suspended replay on the actor and resume next wave.
+        Policy first-wins never conflicts: actors ship policy-unresolved
+        rows plus per-row text hashes, and the driver resolves dup/sim in
+        exact rank order (policy state cannot alter a walk, only row
+        values). Junk-href sightings never conflict either: they are merged
+        order-independently (see _CommittedLaneOverlay).
+
+        A rejected domain is REPAIRED IN PLACE: the driver re-walks that ONE
+        domain exactly (serial machinery over its authoritative state) and
+        keeps consuming the range's later records. Salvage is sound because
+        a repair only shrinks the seen-frontier's complement — the exact
+        walk's marks are a subset of the speculative lane, so a later
+        record's marks stay first-sight, and any reliance on a phantom
+        speculative write is caught by (1)/(2) and repaired in turn. A
+        repair dirties the lane: the actor resets it next wave. Worst case
+        (every domain repaired) degrades to the serial pass; no rewalk is
+        ever issued to an actor mid-burst, so repairs do not serialize
+        cross-range speculation. Blocked domains keep their suspended
+        replay on the actor and resume next wave.
 
         Outputs are byte-identical to the serial committed pass (parity
-        suite): acceptance is in rank order, and every accepted decision was
-        validated against the same authoritative state the serial replay
-        would have seen. The driver's per-URL work drops from Python replay
-        decisions (~10 µs/URL) to bulk dict merges + set intersections
-        (C-speed) plus O(ranges) sequencing.
+        suite): acceptance is in rank order against the same authoritative
+        state the serial replay would have seen. The driver's per-URL work
+        drops from Python replay decisions (~10 µs/URL) to bulk dict merges
+        + set probes (C-speed) plus O(rows) first-wins resolution.
         """
         import ray
 
@@ -1092,144 +1137,177 @@ class CrawlEngine:
         R = self.cfg.tentative_shards
         bounds = self._replay_bounds
         track_dead = self.cfg.state_cap is not None
-        # driver-side suspension never coexists with actor lanes (only the
-        # collision fallback creates one, and its domain re-walks exactly)
+        # driver-side suspension never coexists with actor lanes (only a
+        # repair creates one, and only when its domain re-walk blocks)
         self._suspended = None
 
         # wave-start sync: ship everything accumulated since the last apply
         # (normally just last wave's fetched artifacts — commit deltas ship
         # with the tentative pass). Covered lanes clear on the actor.
         buf = self._delta_buf
-        self._delta_buf = {"link": [], "policy": [], "art": _new_art_cols()}
+        self._delta_buf = {"link": [], "art": _new_art_cols()}
         link_h = fnv1a64_var(buf["link"]) if buf["link"] else None
-        policy_h = (
-            np.fromiter(buf["policy"], dtype=np.uint64, count=len(buf["policy"]))
-            if buf["policy"]
-            else None
-        )
         art_table = _art_delta_table(buf["art"])
-        if link_h is not None or policy_h is not None or art_table is not None:
+        if link_h is not None or art_table is not None:
             link_ref = ray.put(link_h) if link_h is not None else None
-            policy_ref = ray.put(policy_h) if policy_h is not None else None
             art_ref = ray.put(art_table) if art_table is not None else None
-            ray.get([a.apply.remote(link_ref, policy_ref, art_ref) for a in actors])
+            # no barrier: per-actor FIFO ordering guarantees the apply lands
+            # before this wave's commit_range on every actor
+            for a in actors:
+                a.apply.remote(link_ref, art_ref)
 
-        # burst accumulators: every commit this wave, for later ranges'
-        # conflict tests (w_*) and recompute deltas (burst_*)
+        # burst accumulators: every link commit this wave, for later records'
+        # mark-conflict tests (w_link) and next wave's base fold (burst_link)
         burst_link: list[str] = []
-        burst_policy: list[int] = []
         w_link: set[str] = set()
-        w_policy: set[int] = set()
-        burst = (burst_link, burst_policy, w_link, w_policy)
+        burst = (burst_link, w_link)
 
         cap = self.cfg.wave_url_cap
+        todo = [r for r in range(R) if max(bounds[r], self.prefix) < bounds[r + 1]]
         futs: dict[int, "ray.ObjectRef"] = {}
-        for r in range(R):
-            start = max(bounds[r], self.prefix)
-            if start >= bounds[r + 1]:
-                continue
-            futs[r] = actors[r].commit_range.remote(
-                start, None, None, self._lane_dirty[r], track_dead, cap
-            )
-            self._lane_dirty[r] = True  # until fully consumed
 
+        def _issue(r: int) -> None:
+            futs[r] = actors[r].commit_range.remote(
+                max(bounds[r], self.prefix), self._lane_dirty[r], track_dead, cap
+            )
+            self._lane_dirty[r] = True  # until cleanly consumed
+
+        # ADAPTIVE ISSUE WINDOW: the committed prefix usually stops inside
+        # one range (the first still-unfetched artifact), so speculating every
+        # uncommitted range each wave walks deep past the frontier only to be
+        # discarded and re-walked next wave — measured 3.5× the serial replay
+        # phase at a 3M crawl, with the discarded walks also QUEUING ahead of
+        # the same actors' tentative replay (per-actor FIFO) and inflating
+        # every wave's prediction latency. Speculate a window primed by how
+        # many ranges LAST wave consumed (bursts repeat their shape), and
+        # double it every time a range exhausts cleanly within this wave: a
+        # politeness-bound wave speculates ONLY the frontier range (zero
+        # waste), while a tail burst goes wide geometrically (≤2× the optimal
+        # issue count, at most ~one stale deep walk per burst transition).
+        # Stale futures are never drained — the actor's FIFO absorbs them
+        # before the next wave's apply/commit_range, and a dirty lane resets
+        # on re-issue.
+        W = max(1, min(getattr(self, "_spec_w", 1), R))
+        issued = 0
         stop = False
-        for r in sorted(futs):
+        exhausted = 0
+        for i, r in enumerate(todo):
+            while issued < len(todo) and issued <= i + W - 1:
+                _issue(todo[issued])
+                issued += 1
             if stop:
-                ray.get(futs[r])  # drain; lane stays dirty → reset next wave
-                continue
+                break
+            pre_repairs = self.commit_stats["repairs"]
             verdict = self._consume_commit_result(
                 ray.get(futs[r]), pending, burst, track_dead
             )
-            if verdict == "conflict":
-                # exact recompute of the conflicted suffix with the burst delta
-                self.commit_stats["conflicts"] += 1
-                bl_ref = ray.put(fnv1a64_var(burst_link)) if burst_link else None
-                bp_ref = (
-                    ray.put(np.fromiter(burst_policy, dtype=np.uint64, count=len(burst_policy)))
-                    if burst_policy
-                    else None
-                )
-                f2 = actors[r].commit_range.remote(
-                    self.prefix, bl_ref, bp_ref, True, track_dead, cap
-                )
-                verdict = self._consume_commit_result(
-                    ray.get(f2), pending, burst, track_dead
-                )
-                if verdict == "conflict":
-                    # only a true 64-bit string collision reaches here: the
-                    # driver's exact serial walk finishes the range. The lane
-                    # still holds the rejected suffix's writes → stays dirty.
-                    self.commit_stats["collision_rewalks"] += 1
-                    self._advance_committed(pending, until=bounds[r + 1], burst=burst)
-                    if self._suspended is not None:
-                        stop = True  # serial span blocked mid-range
-                    verdict = "serial"
+            clean = self.commit_stats["repairs"] == pre_repairs
             if verdict == "blocked":
-                self._lane_dirty[r] = False  # lane == accepted writes
+                # a clean lane == the accepted writes: the suspension resumes
+                # next wave without a reset; any repair diverged it
+                self._lane_dirty[r] = not clean
                 stop = True
-            elif verdict == "ok" and self.prefix >= bounds[r + 1]:
-                self._lane_dirty[r] = False
+            elif verdict == "ok":
+                if clean and self.prefix >= bounds[r + 1]:
+                    self._lane_dirty[r] = False
+                exhausted += 1
+                W = min(W * 2, R)
+        self._spec_w = exhausted
         if not stop and self.prefix >= len(self.domains):
             self._blocked_iid = None
 
     def _consume_commit_result(self, res: dict, pending, burst, track_dead) -> str:
         """Validate + sequence one commit_range result against the
-        authoritative driver state. Returns 'ok' (range exhausted), 'blocked'
-        (accepted through a suspended domain), or 'conflict' (first rejected
-        domain left at self.prefix for the caller to re-issue)."""
-        burst_link, burst_policy, w_link, w_policy = burst
+        authoritative driver state, repairing rejected domains in place.
+        Returns 'ok' (range exhausted) or 'blocked' (accepted/repaired
+        through a suspended domain)."""
+        burst_link, w_link = burst
         for d in res["domains"]:
             if d["rank"] != self.prefix:
-                return "conflict"  # stale/overlapping speculation
-            link_local, link_bumped = d["link_local"], d["link_bumped"]
-            policy_new = d["policy_new"]
+                raise RuntimeError(
+                    f"sharded-commit sequencing skew: record rank {d['rank']} "
+                    f"at committed prefix {self.prefix}"
+                )
+            link_local, link_rel = d["link_local"], d["link_rel"]
+            link_junk = d["link_junk"]
+            # conflict surface = first-sight mark DECISIONS (vs this burst's
+            # writes) + existence of every relatively-bumped key. ``link_junk``
+            # needs nothing: junk seen-state cannot alter the walk.
             ok = (
                 (not w_link or w_link.isdisjoint(link_local))
-                and (not w_policy or w_policy.isdisjoint(policy_new))
-                and all(h in self.link_dict for h in link_bumped)
+                and all(h in self.link_dict for h in link_rel)
             )
             if not ok:
-                return "conflict"
+                # repair: exact serial walk of this ONE domain on the driver,
+                # then keep consuming the range's later records
+                self.commit_stats["repairs"] += 1
+                self._advance_committed(pending, until=d["rank"] + 1, burst=burst)
+                if self._suspended is not None:
+                    # repair blocked on a missing artifact (possible only if
+                    # the driver's artifact view trails the actor's — defensive)
+                    return "blocked"
+                continue
             # accept — mirror the serial commit block exactly
             domain = self.domains[d["rank"]]
             if hasattr(pending, "protect_rank"):
                 pending.protect_rank = self.prefix
             self._delta_buf["link"].extend(link_local)
-            self._delta_buf["link"].extend(link_bumped)
-            self._delta_buf["policy"].extend(policy_new)
             if self.ckpt:
                 self._ckpt_link_delta.update(link_local)
-                self._ckpt_policy_delta.update(policy_new)
             for h, c in link_local.items():
                 self.link_dict[h] = c
-            for h, n in link_bumped.items():
+            for h, n in link_rel.items():
                 self.link_dict[h] += n
+            for h, n in link_junk.items():
+                # order-independent exact reconstruction: the first sighting
+                # anywhere is the mark (count 0), every other sighting is +1
+                if h in self.link_dict:
+                    self.link_dict[h] += n
+                else:
+                    self.link_dict[h] = n - 1
             if self.ckpt:
-                for h in link_bumped:
+                for h in link_rel:
                     self._ckpt_link_delta[h] = self.link_dict[h]
-            for th, dom in policy_new.items():
-                self.policy_dict[th] = dom
-            for url, sim, okk, valid, dup in d["rows"]:
+                for h in link_junk:
+                    self._ckpt_link_delta[h] = self.link_dict[h]
+            # deferred policy: first-wins resolution in exact rank order,
+            # replicating _DomainReplay._add's incremental-mean arithmetic
+            # bit-for-bit (crawl_domains parity hashes sim_avg)
+            rows = d["rows"]
+            sim_avg = 0.0
+            n_rows = 0
+            for (url, sim, okk, valid, dup), th in zip(rows, d["row_th"]):
+                if th is not None:
+                    if th in self.policy_dict:
+                        sim, dup = 0.0, True
+                    else:
+                        self.policy_dict[th] = domain
+                        if self.ckpt:
+                            self._ckpt_policy_delta[th] = domain
                 self.crawl_rows.append((domain, url, sim, okk, valid, dup, self.seq))
                 self.seq += 1
+                n_rows += 1
+                sim_avg += (sim - sim_avg) / n_rows
             self.domain_status[domain] = d["status"]
-            self.domain_sim_avg[domain] = d["sim_avg"]
+            self.domain_sim_avg[domain] = sim_avg
             if d["consumed"]:
                 self._dead_ids.extend(d["consumed"])
             self.prefix += 1
             self.commit_stats["spec_accepted"] += 1
             if track_dead:
                 self._inline_spill_step()
+            # burst delta = first-sight marks only: ``link_rel`` keys are in
+            # every actor's base or entered the burst with their marks, and
+            # junk keys never probe membership on a committed lane
             burst_link.extend(link_local)
-            burst_link.extend(link_bumped)
             w_link.update(link_local)
-            burst_policy.extend(policy_new)
-            w_policy.update(policy_new)
         b = res["blocked"]
         if b is not None:
             if b["rank"] != self.prefix:
-                return "conflict"
+                raise RuntimeError(
+                    f"sharded-commit sequencing skew: blocked rank {b['rank']} "
+                    f"at committed prefix {self.prefix}"
+                )
             if pending is not None:
                 if hasattr(pending, "protect_rank"):
                     pending.protect_rank = b["rank"]
@@ -1367,12 +1445,9 @@ class CrawlEngine:
             for r in range(R)
         ]
         link_ref = ray.put(fnv1a64_var(list(self.link_dict)))
-        policy_ref = ray.put(
-            np.fromiter(self.policy_dict, dtype=np.uint64, count=len(self.policy_dict))
-        )
         art_ref = ray.put(self._artifact_snapshot_tables())
-        ray.get([a.apply.remote(link_ref, policy_ref, art_ref) for a in actors])
-        self._delta_buf = {"link": [], "policy": [], "art": _new_art_cols()}
+        ray.get([a.apply.remote(link_ref, art_ref) for a in actors])
+        self._delta_buf = {"link": [], "art": _new_art_cols()}
         self._replay_actors = actors
         # sharded-commit bookkeeping: a lane is dirty when its actor holds
         # speculative committed writes the driver did not consume
@@ -1400,16 +1475,10 @@ class CrawlEngine:
         if all(max(bounds[r], self.prefix) >= bounds[r + 1] for r in range(R)):
             return  # every range committed — nothing to predict, ship nothing
         buf = self._delta_buf
-        self._delta_buf = {"link": [], "policy": [], "art": _new_art_cols()}
+        self._delta_buf = {"link": [], "art": _new_art_cols()}
         link_h = fnv1a64_var(buf["link"]) if buf["link"] else None
-        policy_h = (
-            np.fromiter(buf["policy"], dtype=np.uint64, count=len(buf["policy"]))
-            if buf["policy"]
-            else None
-        )
         art_table = _art_delta_table(buf["art"])
         link_ref = ray.put(link_h) if link_h is not None else None
-        policy_ref = ray.put(policy_h) if policy_h is not None else None
         art_ref = ray.put(art_table) if art_table is not None else None
         prev_flows = self._range_flows or [np.empty(0, np.uint64) for _ in range(R)]
         cap = self.cfg.wave_url_cap if self.cfg.state_cap else 0
@@ -1426,7 +1495,7 @@ class CrawlEngine:
                 continue
             futs.append(
                 actors[r].replay.remote(
-                    self.prefix, link_ref, policy_ref, art_ref, flow_ref, cap
+                    self.prefix, link_ref, art_ref, flow_ref, cap
                 )
             )
         results = ray.get([f for f in futs if f is not None])

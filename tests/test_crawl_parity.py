@@ -652,8 +652,8 @@ def test_sharded_commit_bounded_state(ray_session, corpus, small_cfg, tmp_path):
 
 
 def test_sharded_commit_conflict_heavy(ray_session, tmp_path):
-    """A dup-heavy corpus maximizes cross-range policy conflicts (the
-    recompute path must fire AND stay exact). Randomized topologies sweep
+    """A dup-heavy corpus maximizes cross-range link-mark races (the
+    repair path must fire AND stay exact). Randomized topologies sweep
     link-graph shapes."""
     from rayfrontier.pipelines.crawl import CrawlEngine
 
@@ -672,9 +672,9 @@ def test_sharded_commit_conflict_heavy(ray_session, tmp_path):
         assert eng.link_dict == oracle.url_seen
         assert eng.domain_status == oracle.domain_status
         assert eng.commit_stats["spec_accepted"] > 0
-        # the exact-recompute path must actually have fired on this corpus —
+        # the in-place repair path must actually have fired on this corpus —
         # otherwise the conflict machinery is untested code
-        assert eng.commit_stats["conflicts"] > 0, eng.commit_stats
+        assert eng.commit_stats["repairs"] > 0, eng.commit_stats
         eng.shutdown()
 
 
@@ -710,34 +710,47 @@ def test_sharded_commit_config_rejections(corpus, small_cfg):
 
 
 def test_sharded_commit_collision_guard(ray_session, corpus, small_cfg):
-    """A forged base-membership claim (the one-sided 64-bit collision case)
-    must be rejected by _consume_commit_result and merge nothing."""
+    """A forged relative-bump claim (the one-sided 64-bit base-hash collision
+    case) must never be merged: the driver repairs the domain with an exact
+    serial walk instead of trusting the record."""
     from rayfrontier.pipelines.crawl import CrawlEngine
+    from rayfrontier.state.spill import PendingDict
 
+    # reference: the exact serial walk of domain 0 with all artifacts present
+    ref = CrawlEngine(corpus, small_cfg, CrawlConfig()).run()
     eng = CrawlEngine(
         corpus, small_cfg, CrawlConfig(sharded_commit=True, tentative_shards=4)
     )
+    eng.artifacts = dict(ref.artifacts)  # repair walk must not block
     res = {
         "domains": [
             {
-                "rank": 0, "status": "successful", "sim_avg": 0.0, "rows": [],
-                "link_local": {}, "link_bumped": {"http://forged/x": 1},
-                "policy_new": {}, "consumed": None,
+                "rank": 0, "status": "successful", "rows": [], "row_th": [],
+                "link_local": {}, "link_junk": {},
+                "link_rel": {"http://forged/x": 1},
+                "consumed": None,
             }
         ],
         "blocked": None, "wants": {}, "next": 1,
     }
-    burst = ([], [], set(), set())
-    assert eng._consume_commit_result(res, {}, burst, False) == "conflict"
-    assert eng.prefix == 0
-    assert eng.crawl_rows == []
+    burst = ([], set())
+    assert eng._consume_commit_result(res, PendingDict(), burst, False) == "ok"
+    assert eng.commit_stats["repairs"] == 1
+    assert eng.prefix == 1  # repaired exactly, not skipped
     assert "http://forged/x" not in eng.link_dict
+    d0 = eng.domains[0]
+    assert [tuple(r) for r in eng.crawl_rows] == [
+        tuple(r) for r in ref.crawl_rows[: len(eng.crawl_rows)]
+    ]
+    assert eng.crawl_rows, "repair walk produced no rows"
+    assert all(r[0] == d0 for r in eng.crawl_rows)
+    ref.shutdown()
     eng.shutdown()
 
 
 def test_advance_committed_bounded_span(ray_session, corpus, small_cfg):
-    """The collision fallback's serial span (_advance_committed(until, burst))
-    commits exactly [prefix, until) and reports its writes into the burst
+    """The repair span (_advance_committed(until, burst)) commits exactly
+    [prefix, until) and reports its link writes into the burst
     accumulators."""
     from rayfrontier.pipelines.crawl import CrawlEngine
     from rayfrontier.state.spill import PendingDict
@@ -747,14 +760,13 @@ def test_advance_committed_bounded_span(ray_session, corpus, small_cfg):
 
     eng = CrawlEngine(corpus, small_cfg, CrawlConfig())
     eng.artifacts = dict(full.artifacts)  # all fetches present: nothing blocks
-    burst = ([], [], set(), set())
+    burst = ([], set())
     eng._advance_committed(PendingDict(), until=10, burst=burst)
     assert eng.prefix == 10
     n10 = sum(1 for r in oracle.crawl_log if r[0] in set(eng.domains[:10]))
     assert len(eng.crawl_rows) == n10
     assert [tuple(r) for r in eng.crawl_rows] == [tuple(r) for r in oracle.crawl_log[:n10]]
-    burst_link, burst_policy, w_link, w_policy = burst
+    burst_link, w_link = burst
     assert set(burst_link) == w_link == set(eng.link_dict)
-    assert set(burst_policy) == w_policy == set(eng.policy_dict)
     full.shutdown()
     eng.shutdown()
