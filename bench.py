@@ -149,6 +149,9 @@ def run_crawl_bench() -> dict:
         "pages_fetched": eng.n_fetched,
         "urls_per_sec": n_urls / sec,
         "phase_secs": {k: round(v, 3) for k, v in eng.phase_secs.items()},
+        # driver PROCESS-CPU per phase: the 10^10 scaling bound is the
+        # driver's serial CPU, not phase wall (wall includes cluster waits)
+        "phase_cpu_secs": {k: round(v, 3) for k, v in eng.phase_cpu_secs.items()},
     }
     if ccfg.sharded_commit:
         out["commit_stats"] = dict(eng.commit_stats)
@@ -238,6 +241,7 @@ def main() -> None:
         "pages_fetched": crawl["pages_fetched"],
         "crawl_urls": crawl["urls"],
         "crawl_phase_secs": crawl["phase_secs"],
+        "crawl_phase_cpu_secs": crawl["phase_cpu_secs"],
         "crawl_draws_sec": [round(d["sec"], 3) for d in draws],
         "loadavg_1_5_15": loadavg,
     }

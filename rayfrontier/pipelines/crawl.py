@@ -900,6 +900,13 @@ class CrawlEngine:
             # cluster's decode; shows whether the driver is the fetch bound)
             "ingest": 0.0,
         }
+        # driver PROCESS-CPU seconds per phase (time.process_time deltas).
+        # The 10^10 ceiling is the driver's serial CPU, not the phase wall
+        # (wall includes ray.get waits on cluster work): sharded_commit is
+        # graded on replay CPU here — the wall-clock A/B on a single shared
+        # box can't show it, because moving the walk onto co-resident actors
+        # frees a driver core that has nothing else scheduled on it.
+        self.phase_cpu_secs = {k: 0.0 for k in self.phase_secs}
 
         self.ckpt = CheckpointDir(checkpoint_dir) if checkpoint_dir else None
 
@@ -1660,8 +1667,10 @@ class CrawlEngine:
             table = ray.get(done[0])
             if table.num_rows:
                 ti = time.time()
+                tci = time.process_time()
                 n_new += self._ingest_block(table, wave, record_ckpt)
                 self.phase_secs["ingest"] += time.time() - ti
+                self.phase_cpu_secs["ingest"] += time.process_time() - tci
                 if overlap:
                     self._advance_committed(None)
         return n_new
@@ -1913,8 +1922,10 @@ class CrawlEngine:
         self._ensure_blocks()  # submit shard loads now; they overlap replay
         while True:
             t0 = time.time()
+            tc0 = time.process_time()
             pending = self._replay()
             self.phase_secs["replay"] += time.time() - t0
+            self.phase_cpu_secs["replay"] += time.process_time() - tc0
             if self.prefix >= len(self.domains) and not pending:
                 # the final replay commits the whole remaining suffix in one
                 # serial burst — sample residency before flushing it out
@@ -1924,6 +1935,7 @@ class CrawlEngine:
             if max_waves is not None and wave - start_wave >= max_waves:
                 break
             t_admit = time.time()
+            tc_admit = time.process_time()
             # frontier: priority sort + wave cap
             ranked = sorted(pending.items(), key=lambda kv: kv[1])
             order = ranked[: self.cfg.wave_url_cap]
@@ -1986,9 +1998,12 @@ class CrawlEngine:
             for p in pol:
                 p.refill.remote()
             self.phase_secs["admit"] += time.time() - t_admit
+            self.phase_cpu_secs["admit"] += time.process_time() - tc_admit
             t_fetch = time.time()
+            tc_fetch = time.process_time()
             n_new = self._fetch(admitted, wave) if admitted else 0
             self.phase_secs["fetch"] += time.time() - t_fetch
+            self.phase_cpu_secs["fetch"] += time.process_time() - tc_fetch
             stats = {
                 "pending": len(pending),
                 "admitted": len(admitted),
@@ -1999,8 +2014,10 @@ class CrawlEngine:
             if getattr(pending, "dropped", 0):
                 stats["frontier_evicted"] = pending.dropped
             t_commit = time.time()
+            tc_commit = time.process_time()
             self._commit_wave(wave, stats)
             self.phase_secs["commit"] += time.time() - t_commit
+            self.phase_cpu_secs["commit"] += time.process_time() - tc_commit
             self._wave_delta = []
             self._note_hwm(len(pending))
             self._spill_step()
