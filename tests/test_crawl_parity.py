@@ -93,6 +93,14 @@ def test_engine_matches_oracle(ray_session, corpus, small_cfg):
     oracle_unique = oracle.fetch_count
     assert len(eng.fetched_ids) <= oracle_unique * 1.5 + 10
 
+    # phase accounting: wall + driver-CPU per phase (bench JSON surface)
+    assert set(eng.phase_cpu_secs) == set(eng.phase_secs)
+    assert eng.phase_secs["replay"] > 0 and eng.phase_secs["fetch"] > 0
+    assert eng.phase_cpu_secs["replay"] > 0
+    # driver CPU in a phase can exceed its wall only by timer granularity
+    for k in ("replay", "admit", "commit"):
+        assert eng.phase_cpu_secs[k] <= eng.phase_secs[k] + 0.25
+
 
 def test_engine_parity_under_tight_politeness(ray_session, corpus, small_cfg):
     """Politeness throttling changes scheduling (more waves), never outputs."""
