@@ -676,6 +676,8 @@ class _ReplayRangeActor:
         self.c_next: int | None = None  # None = trust the first driver call
         self.c_susp: "_DomainReplay | None" = None
         self.c_link: set[str] = set()  # burst marks; counts live on the driver
+        # rank → (landing iid str, landing id int | -1), built once per range
+        self._landing: tuple[list[str | None], np.ndarray] | None = None
 
     def apply(self, link_h, art_tables) -> None:
         if link_h is not None and len(link_h):
@@ -768,13 +770,54 @@ class _ReplayRangeActor:
         self.apply(link_h, art_table)
         link_ov = _HashSetOverlay(self.link_base, preload=flow_in)
         pending = PendingDict()
-        for rank in range(max(self.lo, prefix), self.hi):
+        # landing fast path — same exactness argument as the serial loop in
+        # CrawlEngine._replay: an unfetched landing blocks the walk at its
+        # first _get with no overlay side effects, so the want registers
+        # directly; membership for the whole range is ONE vectorized
+        # searchsorted against the shared id index instead of a scalar probe
+        # (and a _DomainReplay construction) per domain per wave
+        start = max(self.lo, prefix)
+        iids, ints = self._landing_scan()
+        off = start - self.lo
+        q = ints[off:]
+        a = self.view.artifacts.all_ids
+        if a.size:
+            p = np.searchsorted(a, q)
+            pc = np.minimum(p, a.size - 1)
+            present = (p < a.size) & (a[pc] == q)
+        else:
+            present = np.zeros(q.size, dtype=bool)
+        for k, rank in enumerate(range(start, self.hi)):
+            iid = iids[off + k]
+            if iid is None:
+                continue
+            if not present[k]:
+                pending.want(iid, 0, rank)
+                continue
             rep = _DomainReplay(self.view, link_ov, None, pending, rank)
             rep.run(self.domains[rank])
         out = dict(pending)
         if cap and len(out) > cap:
             out = dict(sorted(out.items(), key=lambda kv: kv[1])[:cap])
         return out, link_ov.new_hashes()
+
+    def _landing_scan(self) -> tuple[list[str | None], np.ndarray]:
+        if self._landing is None:
+            from ..datagen import image_id
+
+            iids: list[str | None] = []
+            ints = np.full(self.hi - self.lo, -1, dtype=np.int64)
+            for k, rank in enumerate(range(self.lo, self.hi)):
+                d = self.domains[rank]
+                url = d if "http" in d else "http://" + d
+                j = self.view.resolve(url)
+                if j is not None and self.view.robots is not None and self.view.robots.disallowed(url):
+                    j = None
+                iids.append(None if j is None else image_id(j))
+                if j is not None:
+                    ints[k] = j
+            self._landing = (iids, ints)
+        return self._landing
 
     def footprint(self) -> dict:
         """Residency accounting (bench.py --actor-rss evidence): process RSS
@@ -943,6 +986,9 @@ class CrawlEngine:
         # conflicts (exact recompute), collision fallbacks (serial span)
         self.commit_stats = {"spec_accepted": 0, "repairs": 0}
         self._resolve_cache: dict[str, int | None] = {}
+        # rank → landing image id (None: unresolvable or robots-disallowed),
+        # built once — domains and robots rules are immutable for a crawl
+        self._landing_cache: list[str | None] | None = None
         self._block_refs: dict[int, "ray.ObjectRef"] | None = None  # noqa: F821
         self._replay_actors: list | None = None
         self._replay_bounds: list[int] | None = None
@@ -1391,10 +1437,40 @@ class CrawlEngine:
             self._replay_distributed(pending)
         else:
             tent_link, tent_policy = Overlay(self.link_dict), Overlay(self.policy_dict)
+            # Landing fast path (EXACT, not a cached want-set): a domain whose
+            # landing artifact is unfetched blocks at its first _get — the
+            # whole walk is one pending.want() with ZERO overlay side effects,
+            # so registering the want directly is bit-identical (same key:
+            # same rank order, same discovery counter ticks). Unresolvable /
+            # robots-disallowed landings are complete no-ops. Only domains
+            # with a fetched landing take a real walk — the steady-state tail
+            # scan drops from ~3.4 µs to sub-µs per domain-wave.
+            landing = self._landing_iids()
+            arts = self.artifacts
             for rank in range(self.prefix, len(self.domains)):
+                iid = landing[rank]
+                if iid is None:
+                    continue
+                if iid not in arts:
+                    pending.want(iid, 0, rank)
+                    continue
                 rep = _DomainReplay(self, tent_link, tent_policy, pending, rank)
                 rep.run(self.domains[rank])
         return pending
+
+    def _landing_iids(self) -> list[str | None]:
+        if self._landing_cache is None:
+            from ..datagen import image_id
+
+            out: list[str | None] = []
+            for d in self.domains:
+                url = d if "http" in d else "http://" + d
+                j = self.resolve(url)
+                if j is not None and self.robots is not None and self.robots.disallowed(url):
+                    j = None
+                out.append(None if j is None else image_id(j))
+            self._landing_cache = out
+        return self._landing_cache
 
     def _artifact_snapshot_tables(self) -> list[pa.Table]:
         """Current artifacts as id-sorted Arrow wave tables (actor format).
