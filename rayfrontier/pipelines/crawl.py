@@ -942,6 +942,12 @@ class CrawlEngine:
             # driver-side columnar ingest inside the fetch loop (overlaps the
             # cluster's decode; shows whether the driver is the fetch bound)
             "ingest": 0.0,
+            # one-time shard-block load into plasma (_ensure_blocks): cluster
+            # storage warm-up, NOT driver serial — kept throttled 8-wide (an
+            # overlapped variant was A/B'd and loses: all-at-once or
+            # CPU-reserved loads contend with wave-0 admit/fetch, +2-8 s at
+            # the 3M corpus). Timed so wall = Σ(phases) − ingest holds.
+            "load": 0.0,
         }
         # driver PROCESS-CPU seconds per phase (time.process_time deltas).
         # The 10^10 ceiling is the driver's serial CPU, not the phase wall
@@ -1614,6 +1620,8 @@ class CrawlEngine:
         """
         if self._block_refs is not None:
             return self._block_refs
+        t_load = time.time()
+        tc_load = time.process_time()
         import ray
 
         # NEVER cache the payload bytes in plasma: at 10^10 rows the payload
@@ -1650,6 +1658,8 @@ class CrawlEngine:
             refs[s] = r
             inflight.append(r)
         self._block_refs = refs
+        self.phase_secs["load"] += time.time() - t_load
+        self.phase_cpu_secs["load"] += time.process_time() - tc_load
         return refs
 
     # -- wave fetch --------------------------------------------------------------
