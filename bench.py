@@ -200,6 +200,10 @@ def run_query_bench() -> dict:
 def main() -> None:
     import ray
 
+    # co-tenant evidence: read BEFORE corpus prep — ensure_corpus's own
+    # page-cache warm-up (a full-corpus read) drives the 1-min load past ~2.5
+    # by itself, so a post-prep reading can never show a quiet box
+    loadavg_start = _loadavg()
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -243,7 +247,10 @@ def main() -> None:
         "crawl_phase_secs": crawl["phase_secs"],
         "crawl_phase_cpu_secs": crawl["phase_cpu_secs"],
         "crawl_draws_sec": [round(d["sec"], 3) for d in draws],
-        "loadavg_1_5_15": loadavg,
+        "loadavg_1_5_15": loadavg_start,
+        # post-prep reading (includes the bench's own warm-up load; kept so
+        # old records stay comparable — they were taken at this point)
+        "loadavg_pre_draw": loadavg,
     }
     print(json.dumps(result))
     ray.shutdown()
