@@ -104,7 +104,10 @@ def hash_join(left, right, on: str, right_on: str | None = None, how: str = "inn
     ``how`` in ('inner', 'left') since the right side is the replicated one.
     """
     right_on = right_on or on
-    salted = salt_keys is not None and len(list(salt_keys)) > 0
+    # materialize ONCE: a generator argument would be exhausted by the
+    # emptiness test and silently disable the salting it asked for
+    salt_keys = list(salt_keys) if salt_keys is not None else []
+    salted = len(salt_keys) > 0
     if salted:
         if how not in ("inner", "left"):
             raise ValueError(

@@ -1221,7 +1221,12 @@ class CrawlEngine:
         w_link: set[str] = set()
         burst = (burst_link, w_link)
 
-        cap = self.cfg.wave_url_cap
+        # blocked-domain want cap: a shipping bound only — beyond-cap wants
+        # regenerate next wave (scheduling-neutral, like BoundedPending
+        # eviction). MUST be off when the frontier table is recording the
+        # wanted-but-not-admitted set: an actor-side drop never reaches the
+        # driver's evicted_tail bookkeeping.
+        cap = 0 if self._frontier_dir is not None else self.cfg.wave_url_cap
         todo = [r for r in range(R) if max(bounds[r], self.prefix) < bounds[r + 1]]
         futs: dict[int, "ray.ObjectRef"] = {}
 
@@ -1251,11 +1256,14 @@ class CrawlEngine:
         stop = False
         exhausted = 0
         for i, r in enumerate(todo):
+            if stop:
+                break
+            # issue AFTER the stop check: a blocked verdict must not trigger
+            # one more stale speculative walk (it would queue ahead of that
+            # actor's tentative replay and dirty its lane for nothing)
             while issued < len(todo) and issued <= i + W - 1:
                 _issue(todo[issued])
                 issued += 1
-            if stop:
-                break
             pre_repairs = self.commit_stats["repairs"]
             verdict = self._consume_commit_result(
                 ray.get(futs[r]), pending, burst, track_dead
@@ -1487,7 +1495,9 @@ class CrawlEngine:
         tables: list[pa.Table] = []
         hot = self.artifacts.hot if isinstance(self.artifacts, _SpillBackedArtifacts) else self.artifacts
         if isinstance(self.artifacts, _SpillBackedArtifacts):
-            for t in self.artifacts.spill.tables():
+            # tables_dedup: a re-spilled id is in every file that held it;
+            # the actors' add_wave contract is exactly-once ids
+            for t in self.artifacts.spill.tables_dedup():
                 # spill files lack href hashes — augment vectorized
                 lens = np.array([len(t["hrefs"][k]) for k in range(t.num_rows)], dtype=np.int64)
                 flat = [h for k in range(t.num_rows) for h in t["hrefs"][k].as_py()]
@@ -1499,14 +1509,28 @@ class CrawlEngine:
                     )
                 )
         if hot:
+            # a read-back re-enters .hot WITHOUT leaving the spill
+            # (_SpillBackedArtifacts.get), so hot∩spill is non-empty after a
+            # bounded resume — ship each id once (artifacts are immutable, so
+            # either copy is identical; _ActorArtifacts.add_wave asserts
+            # cross-wave id disjointness)
+            in_spill = (
+                self.artifacts.spill.contains_int
+                if isinstance(self.artifacts, _SpillBackedArtifacts)
+                else None
+            )
             cols = _new_art_cols()
             for iid, a in hot.items():
+                if in_spill is not None and in_spill(int(iid[3:])):
+                    continue
                 cols["id"].append(iid)
                 cols["ok"].append(a.ok)
                 cols["th"].append(a.text_hash - (1 << 64) if a.text_hash >= 1 << 63 else a.text_hash)
                 cols["sim"].append(a.sim)
                 cols["hrefs"].append(list(a.hrefs))
-            tables.append(_art_delta_table(cols))
+            t = _art_delta_table(cols)
+            if t is not None:
+                tables.append(t)
         return tables
 
     def _ensure_replay_actors(self):
@@ -1570,7 +1594,17 @@ class CrawlEngine:
         link_ref = ray.put(link_h) if link_h is not None else None
         art_ref = ray.put(art_table) if art_table is not None else None
         prev_flows = self._range_flows or [np.empty(0, np.uint64) for _ in range(R)]
-        cap = self.cfg.wave_url_cap if self.cfg.state_cap else 0
+        # per-range want cap (bounded mode): lossless for ADMISSION — each
+        # range's top-cap is a superset of its contribution to the global
+        # top-cap — but it drops wanted-but-not-admitted entries actor-side,
+        # so it must stay OFF when a frontier sink is recording exactly that
+        # set (the driver's BoundedPending then does the eviction and records
+        # the tail itself)
+        cap = (
+            self.cfg.wave_url_cap
+            if (self.cfg.state_cap and self._frontier_dir is None)
+            else 0
+        )
 
         futs = []
         merged_flow = np.empty(0, dtype=np.uint64)

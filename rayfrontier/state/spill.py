@@ -125,6 +125,25 @@ class ArtifactSpill:
     def tables(self) -> list[pa.Table]:
         return [t for _ids, t in self._files]
 
+    def tables_dedup(self) -> list[pa.Table]:
+        """Spill tables with each id kept only in its NEWEST file. A
+        re-spilled id (read back, then dead again) is written to every spill
+        event that held it — fine for keyed lookup (the id→file index points
+        at the newest), but a consumer that UNIONS the tables (the resume
+        snapshot shipped to replay actors, which asserts cross-wave id
+        disjointness) needs exactly-once ids. Rows are identical across
+        copies (artifacts are immutable), so dropping the older ones is
+        exact."""
+        out: list[pa.Table] = []
+        for fidx, (ids, t) in enumerate(self._files):
+            keep = np.fromiter(
+                (self._id_loc.get(int(i)) == fidx for i in ids.tolist()),
+                dtype=bool,
+                count=ids.size,
+            )
+            out.append(t if bool(keep.all()) else t.filter(pa.array(keep)))
+        return out
+
 
 class RowSpill:
     """Per-wave crawl-log spill; outputs concat the mmap'd files + tail."""

@@ -97,9 +97,12 @@ def test_engine_matches_oracle(ray_session, corpus, small_cfg):
     assert set(eng.phase_cpu_secs) == set(eng.phase_secs)
     assert eng.phase_secs["replay"] > 0 and eng.phase_secs["fetch"] > 0
     assert eng.phase_cpu_secs["replay"] > 0
-    # driver CPU in a phase can exceed its wall only by timer granularity
+    # process_time() sums ALL driver threads (Ray gRPC, pyarrow pools), so
+    # phase CPU can legitimately exceed phase wall under a multi-threaded
+    # burst — bound it by a small thread factor instead of wall+epsilon,
+    # which flaked under co-tenant load
     for k in ("replay", "admit", "commit"):
-        assert eng.phase_cpu_secs[k] <= eng.phase_secs[k] + 0.25
+        assert eng.phase_cpu_secs[k] <= eng.phase_secs[k] * 3 + 0.5
 
 
 def test_engine_parity_under_tight_politeness(ray_session, corpus, small_cfg):
@@ -341,6 +344,66 @@ def test_bounded_state_distributed_replay(ray_session, corpus, small_cfg, tmp_pa
     assert eng.domain_status == base.domain_status
     base.shutdown()
     eng.shutdown()
+
+
+def test_bounded_distributed_replay_checkpoint_resume(ray_session, corpus, small_cfg, tmp_path):
+    """Resume under state_cap + tentative_shards>1: the resume snapshot ships
+    spill tables + hot artifacts to the range actors, and ids must be
+    exactly-once across those tables — a read-back re-enters .hot WITHOUT
+    leaving the spill, and a re-spilled id is present in every spill file
+    that held it (regression: add_wave's cross-wave disjointness assertion
+    fired inside the actors on this path)."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(state_cap=8, wave_url_cap=16, tentative_shards=4)
+    ck = str(tmp_path / "ck_bdr")
+    e1 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e1.run(max_waves=2)
+    e1.shutdown()
+
+    e2 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e2.run(resume=True)
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    log = e2.crawl_log_table()
+    got = list(zip(log["domain"].to_pylist(), log["url"].to_pylist(), log["seq"].to_pylist()))
+    assert got == [(r[0], r[1], r[6]) for r in oracle.crawl_log]
+    assert e2.link_dict == oracle.url_seen
+    e2.shutdown()
+
+
+def test_artifact_spill_tables_dedup(tmp_path):
+    """A re-spilled id lives in several spill files; tables_dedup must return
+    it exactly once, from its newest file."""
+    import pyarrow as pa
+
+    from rayfrontier.state.spill import ArtifactSpill
+
+    sp = ArtifactSpill(str(tmp_path / "sp"))
+
+    def tbl(ids, sim):
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "ok": pa.array([True] * len(ids), pa.bool_()),
+                "text_hash": pa.array([7] * len(ids), pa.int64()),
+                "sim": pa.array([sim] * len(ids), pa.float64()),
+                "hrefs": pa.array([[] for _ in ids], pa.list_(pa.string())),
+            }
+        )
+
+    sp.spill(np.array([1, 2, 3], dtype=np.int64), tbl([1, 2, 3], 0.1))
+    sp.spill(np.array([2, 4], dtype=np.int64), tbl([2, 4], 0.2))  # 2 re-spilled
+    seen = []
+    for t in sp.tables_dedup():
+        seen.extend(t["id"].to_pylist())
+    assert sorted(seen) == [1, 2, 3, 4]
+    # and the survivor of id 2 is the NEWEST copy
+    newest = [t for t in sp.tables_dedup() if 2 in t["id"].to_pylist()][-1]
+    k = newest["id"].to_pylist().index(2)
+    assert newest["sim"][k].as_py() == 0.2
 
 
 def test_overlap_replay_parity(ray_session, corpus, small_cfg, tmp_path):
