@@ -644,6 +644,36 @@ class _ActorArtifacts:
         return art
 
 
+def _landing_ids(
+    domains, resolve, robots, lo: int, hi: int
+) -> tuple[list[str | None], np.ndarray]:
+    """rank → (landing image id, landing int id | -1) over domains[lo:hi].
+
+    The SINGLE definition of landing classification for the tentative fast
+    path — must stay equivalent to ``_DomainReplay.run``'s first ``_get``
+    (resolve → robots gate → image_id): ``None`` ⇔ the walk would return
+    failed_access with zero overlay side effects; a non-None id that is
+    unfetched ⇔ the walk would block registering exactly
+    ``pending.want(iid, 0, rank)``. Used by both the driver
+    (``CrawlEngine._landing_iids``) and the replay range actors
+    (``_ReplayRangeActor._landing_scan``), cached by each — domains and
+    robots rules are immutable for a crawl."""
+    from ..datagen import image_id
+
+    iids: list[str | None] = []
+    ints = np.full(hi - lo, -1, dtype=np.int64)
+    for k, rank in enumerate(range(lo, hi)):
+        d = domains[rank]
+        url = d if "http" in d else "http://" + d
+        j = resolve(url)
+        if j is not None and robots is not None and robots.disallowed(url):
+            j = None
+        iids.append(None if j is None else image_id(j))
+        if j is not None:
+            ints[k] = j
+    return iids, ints
+
+
 class _ReplayRangeActor:
     """Pinned actor owning the tentative replay of one contiguous domain
     range — the 10^10-scale layout: state ships once, each wave moves only
@@ -803,20 +833,9 @@ class _ReplayRangeActor:
 
     def _landing_scan(self) -> tuple[list[str | None], np.ndarray]:
         if self._landing is None:
-            from ..datagen import image_id
-
-            iids: list[str | None] = []
-            ints = np.full(self.hi - self.lo, -1, dtype=np.int64)
-            for k, rank in enumerate(range(self.lo, self.hi)):
-                d = self.domains[rank]
-                url = d if "http" in d else "http://" + d
-                j = self.view.resolve(url)
-                if j is not None and self.view.robots is not None and self.view.robots.disallowed(url):
-                    j = None
-                iids.append(None if j is None else image_id(j))
-                if j is not None:
-                    ints[k] = j
-            self._landing = (iids, ints)
+            self._landing = _landing_ids(
+                self.domains, self.view.resolve, self.view.robots, self.lo, self.hi
+            )
         return self._landing
 
     def footprint(self) -> dict:
@@ -1129,19 +1148,30 @@ class CrawlEngine:
                 w_link.update(link_ov.local)
             link_ov.commit()
             policy_ov.commit()
-            for url, sim, ok, valid, dup in rep.rows:
-                self.crawl_rows.append((domain, url, sim, ok, valid, dup, self.seq))
-                self.seq += 1
-            self.domain_status[domain] = status
-            self.domain_sim_avg[domain] = rep.sim_avg
-            if rep.consumed:
-                self._dead_ids.extend(rep.consumed)
-            self.prefix += 1
-            if track_dead:
-                self._inline_spill_step()
+            self._commit_domain_tail(
+                domain, rep.rows, status, rep.sim_avg, rep.consumed, track_dead
+            )
         else:
             self._blocked_iid = None
             self._suspended = None
+
+    def _commit_domain_tail(
+        self, domain: str, rows, status: str, sim_avg: float, consumed, track_dead: bool
+    ) -> None:
+        """The ONE per-domain commit sequence shared by the serial pass and
+        the sharded accept path (rows→crawl log with seq, outcome stats,
+        dead-id retirement, prefix advance, inline spill). Any new per-domain
+        commit side effect belongs HERE so the two paths cannot diverge."""
+        for url, sim, ok, valid, dup in rows:
+            self.crawl_rows.append((domain, url, sim, ok, valid, dup, self.seq))
+            self.seq += 1
+        self.domain_status[domain] = status
+        self.domain_sim_avg[domain] = sim_avg
+        if consumed:
+            self._dead_ids.extend(consumed)
+        self.prefix += 1
+        if track_dead:
+            self._inline_spill_step()
 
     def _advance_committed_sharded(self, pending) -> None:
         """Sharded committed pass (cfg.sharded_commit; SURVEY §8 contract).
@@ -1340,10 +1370,9 @@ class CrawlEngine:
             # deferred policy: first-wins resolution in exact rank order,
             # replicating _DomainReplay._add's incremental-mean arithmetic
             # bit-for-bit (crawl_domains parity hashes sim_avg)
-            rows = d["rows"]
+            resolved: list[tuple] = []
             sim_avg = 0.0
-            n_rows = 0
-            for (url, sim, okk, valid, dup), th in zip(rows, d["row_th"]):
+            for (url, sim, okk, valid, dup), th in zip(d["rows"], d["row_th"]):
                 if th is not None:
                     if th in self.policy_dict:
                         sim, dup = 0.0, True
@@ -1351,18 +1380,12 @@ class CrawlEngine:
                         self.policy_dict[th] = domain
                         if self.ckpt:
                             self._ckpt_policy_delta[th] = domain
-                self.crawl_rows.append((domain, url, sim, okk, valid, dup, self.seq))
-                self.seq += 1
-                n_rows += 1
-                sim_avg += (sim - sim_avg) / n_rows
-            self.domain_status[domain] = d["status"]
-            self.domain_sim_avg[domain] = sim_avg
-            if d["consumed"]:
-                self._dead_ids.extend(d["consumed"])
-            self.prefix += 1
+                resolved.append((url, sim, okk, valid, dup))
+                sim_avg += (sim - sim_avg) / len(resolved)
+            self._commit_domain_tail(
+                domain, resolved, d["status"], sim_avg, d["consumed"], track_dead
+            )
             self.commit_stats["spec_accepted"] += 1
-            if track_dead:
-                self._inline_spill_step()
             # burst delta = first-sight marks only: ``link_rel`` keys are in
             # every actor's base or entered the burst with their marks, and
             # junk keys never probe membership on a committed lane
@@ -1474,16 +1497,9 @@ class CrawlEngine:
 
     def _landing_iids(self) -> list[str | None]:
         if self._landing_cache is None:
-            from ..datagen import image_id
-
-            out: list[str | None] = []
-            for d in self.domains:
-                url = d if "http" in d else "http://" + d
-                j = self.resolve(url)
-                if j is not None and self.robots is not None and self.robots.disallowed(url):
-                    j = None
-                out.append(None if j is None else image_id(j))
-            self._landing_cache = out
+            self._landing_cache = _landing_ids(
+                self.domains, self.resolve, self.robots, 0, len(self.domains)
+            )[0]
         return self._landing_cache
 
     def _artifact_snapshot_tables(self) -> list[pa.Table]:
