@@ -187,6 +187,34 @@ def test_hash_join_salted_equals_unsalted(ray_session):
             )
 
 
+def test_hash_join_salt_accepts_generator(ray_session):
+    """salt_keys may be any iterable. A generator used to be exhausted by
+    hash_join's emptiness test, leaving _salt_sides with no hot keys — a
+    SILENT no-op (output is salt-invariant, so only the salting behavior
+    itself can detect it): every left row got salt 0 and the hot right row
+    was never replicated. Assert the distribution actually happens."""
+    from rayfrontier.functions.joins import _salt_sides, hash_join
+
+    left, right = _skewed_sides()
+    l2, r2 = _salt_sides(left, right, "k", "rk", (x for x in [7]), 4)
+    rt = r2.to_pandas()
+    assert int((rt["rk"] == 7).sum()) == 4, "hot right row must replicate x4"
+    lt = l2.to_pandas()
+    assert lt.loc[lt["k"] == 7, "_salt"].nunique() > 1, "hot left rows must spread"
+
+    # end-to-end: generator-salted join still equals the plain join
+    left, right = _skewed_sides()
+    plain = hash_join(left, right, on="k", right_on="rk", how="inner",
+                      nparts=8, prefer_native=False).to_pandas()
+    left, right = _skewed_sides()
+    salted = hash_join(left, right, on="k", right_on="rk", how="inner",
+                       nparts=8, prefer_native=False,
+                       salt_keys=(x for x in [7]), salt_factor=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm_join(plain), _norm_join(salted), check_dtype=False
+    )
+
+
 def test_hash_join_salt_rejects_right_outer(ray_session):
     from rayfrontier.functions.joins import hash_join
 
