@@ -2056,6 +2056,10 @@ class CrawlEngine:
         start_wave = self.resume() if (resume and self.ckpt) else 0
         wave = start_wave
         self._ensure_blocks()  # submit shard loads now; they overlap replay
+        # actor creation is fully async (12 remote spawns + 2 ray.put, no
+        # gets) — kick it here so worker-process spawn overlaps the wave-0
+        # replay instead of serializing into the first admit (~0.2-0.3 s)
+        self._ensure_actors()
         while True:
             t0 = time.time()
             tc0 = time.process_time()
