@@ -1064,8 +1064,20 @@ class CrawlEngine:
         # (measured ~1 s/crawl faster at 32 CPUs than zero-CPU actors).
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         seen_cpu, pol_cpu = (0.1, 0.05) if ncpu >= 16 else (0, 0)
-        Seen = ray.remote(num_cpus=seen_cpu)(SeenShard)
-        Pol = ray.remote(num_cpus=pol_cpu)(PolitenessShard)
+        # node-failure tolerance (restart with EMPTY state is correctness-
+        # safe for both families, so infinite restart + transparent retry):
+        # a restarted seen shard only yields filter false-negatives, and
+        # wants are registered solely for unfetched artifacts, so no
+        # committed page can be refetched — the filter is advisory (hits are
+        # re-verified against the exact artifact cache at the probe site);
+        # politeness buckets are scheduling-only state (a restart regrants
+        # from full burst; outputs are replay-derived, never fetch-order-
+        # derived). Replay range actors are NOT restartable this way (they
+        # hold real lane state); their failure mode is the checkpoint-resume
+        # path, same as a driver crash. Parity-pinned by the mid-crawl
+        # actor-kill test.
+        Seen = ray.remote(num_cpus=seen_cpu, max_restarts=-1, max_task_retries=-1)(SeenShard)
+        Pol = ray.remote(num_cpus=pol_cpu, max_restarts=-1, max_task_retries=-1)(PolitenessShard)
         seen = [Seen.remote(capacity=1 << 18, seed=11 + s) for s in range(self.cfg.n_seen_shards)]
         pol = [
             Pol.remote(tokens_per_wave=self.cfg.host_tokens_per_wave, burst=2 * self.cfg.host_tokens_per_wave)

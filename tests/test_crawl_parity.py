@@ -374,6 +374,34 @@ def test_bounded_distributed_replay_checkpoint_resume(ray_session, corpus, small
     e2.shutdown()
 
 
+def test_state_actor_death_mid_crawl(ray_session, corpus, small_cfg):
+    """Seen/politeness actors restart with empty state on node failure
+    (max_restarts=-1): a restarted filter only yields false-negatives (wants
+    exist solely for unfetched artifacts, so nothing committed refetches)
+    and politeness buckets are scheduling-only — crawl output must still be
+    byte-equal to the oracle after killing one of each mid-crawl."""
+    import ray
+
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(wave_url_cap=16)
+    eng = CrawlEngine(corpus, small_cfg, cfg)
+    eng.run(max_waves=2)
+    actors = eng._actors
+    assert actors is not None
+    ray.kill(actors["seen"][0], no_restart=False)
+    ray.kill(actors["politeness"][0], no_restart=False)
+    eng.run()  # continue to completion through the restarted actors
+
+    oracle = sequential_crawl(
+        seeds_list(small_cfg), SyntheticStore(small_cfg), CrawlConfig(),
+        ground_truth_text(small_cfg), dictionary_set(small_cfg),
+    )
+    assert [tuple(r) for r in eng.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    assert eng.link_dict == oracle.url_seen
+    eng.shutdown()
+
+
 def test_artifact_spill_tables_dedup(tmp_path):
     """A re-spilled id lives in several spill files; tables_dedup must return
     it exactly once, from its newest file."""
