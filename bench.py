@@ -48,6 +48,20 @@ def _loadavg():
         return None
 
 
+def _cpu_canary() -> float:
+    """Seconds for a fixed single-core integer loop — a box-speed reference
+    baked into every bench artifact. Needed because the VM's effective
+    per-core speed has been observed to HALVE at the host level with zero
+    steal ticks and an idle box (BASELINE.md 2026-08-19 note): loadavg
+    cannot see that, this can. Nominal ~0.25 s; 2× nominal means absolute
+    draws in the same JSON under-report the engine ~2×."""
+    t = time.time()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return round(time.time() - t, 3)
+
+
 def _bench_cfgs():
     from rayfrontier.config import CrawlConfig, DatagenConfig
 
@@ -251,6 +265,7 @@ def main() -> None:
         # post-prep reading (includes the bench's own warm-up load; kept so
         # old records stay comparable — they were taken at this point)
         "loadavg_pre_draw": loadavg,
+        "cpu_canary_sec": _cpu_canary(),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -493,7 +508,9 @@ def crawl_only() -> None:
 
     DataContext.get_current().enable_progress_bars = False
     ensure_corpus()
-    print(json.dumps(run_crawl_bench()))
+    out = run_crawl_bench()
+    out["cpu_canary_sec"] = _cpu_canary()
+    print(json.dumps(out))
     ray.shutdown()
 
 
