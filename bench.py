@@ -54,12 +54,18 @@ def _cpu_canary() -> float:
     per-core speed has been observed to HALVE at the host level with zero
     steal ticks and an idle box (BASELINE.md 2026-08-19 note): loadavg
     cannot see that, this can. Nominal ~0.25 s; 2× nominal means absolute
-    draws in the same JSON under-report the engine ~2×."""
-    t = time.time()
-    x = 0
-    for i in range(2_000_000):
-        x += i * i
-    return round(time.time() - t, 3)
+    draws in the same JSON under-report the engine ~2×. Min-of-3 (matching
+    the bench's best-of-2 convention) so a one-off scheduler preemption or
+    GC pause cannot forge a degraded-box reading."""
+    best = None
+    for _ in range(3):
+        t = time.time()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        dt = time.time() - t
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _bench_cfgs():

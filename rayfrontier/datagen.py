@@ -127,11 +127,18 @@ def _zipf_word(words: list[str], seed: int, tag: str, *idx: int) -> str:
     math.log/math.exp replace the numpy SCALAR calls (per-word numpy scalar
     dispatch was ~2 µs/word — the single largest caption-regeneration cost);
     bit-identical outputs verified exhaustively against the cached 300k/1M/3M
-    corpora's stored captions (BASELINE round-4 notes)."""
+    corpora's stored captions (BASELINE round-4 notes).
+
+    The cached harmonic term uses np.log — np.log and math.log differ by
+    1 ulp for SOME n on this box (e.g. 54.0), and the stored corpora were
+    generated with np.log, so the np value is the authoritative one for any
+    future vocab size; it is computed once per size, so the numpy scalar
+    cost is irrelevant. math.exp replaces only the PER-WORD call, and its
+    bit-equality was verified exhaustively over every cached corpus draw."""
     n = len(words)
     harm = _HARM_CACHE.get(n)
     if harm is None:
-        harm = _HARM_CACHE[n] = math.log(n + 1.0)
+        harm = _HARM_CACHE[n] = float(np.log(n + 1.0))
     u = _u(seed, tag, *idx)
     r = int(math.exp(u * harm)) - 1
     return words[min(r, n - 1)]

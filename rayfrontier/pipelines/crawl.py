@@ -645,7 +645,7 @@ class _ActorArtifacts:
 
 
 def _landing_ids(
-    domains, resolve, robots, lo: int, hi: int
+    domains, resolve, robots, lo: int, hi: int, want_ints: bool = True
 ) -> tuple[list[str | None], np.ndarray]:
     """rank → (landing image id, landing int id | -1) over domains[lo:hi].
 
@@ -661,7 +661,7 @@ def _landing_ids(
     from ..datagen import image_id
 
     iids: list[str | None] = []
-    ints = np.full(hi - lo, -1, dtype=np.int64)
+    ints = np.full(hi - lo, -1, dtype=np.int64) if want_ints else np.empty(0, np.int64)
     for k, rank in enumerate(range(lo, hi)):
         d = domains[rank]
         url = d if "http" in d else "http://" + d
@@ -669,7 +669,7 @@ def _landing_ids(
         if j is not None and robots is not None and robots.disallowed(url):
             j = None
         iids.append(None if j is None else image_id(j))
-        if j is not None:
+        if want_ints and j is not None:
             ints[k] = j
     return iids, ints
 
@@ -1510,7 +1510,8 @@ class CrawlEngine:
     def _landing_iids(self) -> list[str | None]:
         if self._landing_cache is None:
             self._landing_cache = _landing_ids(
-                self.domains, self.resolve, self.robots, 0, len(self.domains)
+                self.domains, self.resolve, self.robots, 0, len(self.domains),
+                want_ints=False,  # the driver fast path only probes by iid
             )[0]
         return self._landing_cache
 
