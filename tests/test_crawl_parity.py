@@ -374,6 +374,29 @@ def test_bounded_distributed_replay_checkpoint_resume(ray_session, corpus, small
     e2.shutdown()
 
 
+def test_frontier_priority_admission(ray_session, corpus, small_cfg):
+    """The wave cap must admit the TOP priorities — (depth, rank, discovery)
+    ascending — not an arbitrary subset. Crawl parity cannot see this
+    (outputs are replay-derived, admission is scheduling), so pin it
+    directly: wave 0's pending is exactly the resolvable landings at depth 0
+    in rank order, and with wave_url_cap=3 the fetched artifacts must be the
+    first 3 resolvable domains' landing pages."""
+    from rayfrontier.datagen import image_id
+    from rayfrontier.pipelines.crawl import CrawlEngine, _landing_ids
+
+    eng = CrawlEngine(corpus, small_cfg, CrawlConfig(wave_url_cap=3))
+    eng.run(max_waves=1)
+    landings = _landing_ids(
+        eng.domains, eng.resolve, eng.robots, 0, len(eng.domains), want_ints=False
+    )[0]
+    # dedupe preserving rank order: cross-host aliases share a landing id
+    # and the want-set keys by id (first want, i.e. lowest rank, wins)
+    expected = list(dict.fromkeys(iid for iid in landings if iid is not None))[:3]
+    got = set(eng.artifacts.keys()) if hasattr(eng.artifacts, "keys") else set(eng.artifacts)
+    assert got == set(expected), (got, expected)
+    eng.shutdown()
+
+
 def test_state_actor_death_mid_crawl(ray_session, corpus, small_cfg):
     """Seen/politeness actors restart with empty state on node failure
     (max_restarts=-1): a restarted filter only yields false-negatives (wants
