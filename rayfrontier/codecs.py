@@ -102,11 +102,10 @@ def phash64(pixels: np.ndarray) -> int:
             block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
             cells[i, j] = block.mean()
     bits = cells.ravel() > cells.mean()
-    # exact bit pack (no float math): bits dot 2^k
-    return int(
-        np.int64(
-            np.uint64(
-                (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-            )
-        )
-    )
+    # exact bit pack (no float math): bits dot 2^k. The uint64 -> signed
+    # wrap is done in Python ints: np.int64(np.uint64(v)) raises
+    # OverflowError for v >= 2^63 on NumPy >= 2.0 (scalar-constructor
+    # conversion became strict), and about half of all hashes set the top
+    # bit. Same two's-complement value, version-proof.
+    v = int((bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return v - (1 << 64) if v >= (1 << 63) else v

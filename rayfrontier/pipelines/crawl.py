@@ -608,6 +608,15 @@ class _ActorArtifacts:
         order = np.argsort(merged, kind="stable")
         self.all_ids = merged[order]
         self.wave_of = merged_w[order]
+        if os.environ.get("GRAFT_DEBUG_INVARIANTS") == "1":
+            # full-index form of the fetched-exactly-once invariant (the
+            # __debug__ guard above checks only the incremental delta; this
+            # re-proves the whole merged index and survives python -O)
+            if self.all_ids.size > 1 and not (np.diff(self.all_ids) > 0).all():
+                raise AssertionError(
+                    "artifact id index not strictly increasing — "
+                    "fetched-exactly-once invariant broken"
+                )
 
     def __contains__(self, iid: str) -> bool:
         if iid in self.cache:
@@ -2089,11 +2098,13 @@ class CrawlEngine:
                 break
             t_admit = time.time()
             tc_admit = time.process_time()
-            # frontier: priority sort + wave cap. Priority keys are UNIQUE
-            # (depth, rank, discovery) int triples (PendingDict/BoundedPending
-            # .want), so np.lexsort reproduces sorted(items, key=kv[1])
-            # exactly — the Python tuple sort was ~60 ms/wave at an 80k
-            # frontier and is O(P log P) driver serial at any scale
+            # frontier: priority sort + wave cap. Priority keys are
+            # UNCONDITIONALLY unique (depth, rank, discovery) int triples —
+            # both PendingDict and BoundedPending .want use a monotonic
+            # discovery counter — so np.lexsort reproduces
+            # sorted(items, key=kv[1]) exactly regardless of crawl depth.
+            # The Python tuple sort was ~60 ms/wave at an 80k frontier and
+            # is O(P log P) driver serial at any scale
             iid_list = list(pending.keys())
             n_p = len(iid_list)
             if n_p:

@@ -201,15 +201,29 @@ class RowSpill:
 
 class PendingDict(dict):
     """The default (unbounded) per-wave want-set: exact round-1 semantics —
-    priority key = (depth, domain rank, len(self) at insert time)."""
+    priority key = (depth, domain rank, discovery tiebreak).
 
-    __slots__ = ()
+    The tiebreak is a monotonic counter (like BoundedPending.discovery), not
+    ``len(self)``: the admit path's np.lexsort needs UNCONDITIONALLY unique
+    triples, and ``len(self)`` stays unique only because crawl depth is
+    limited to {0,1} (a landing-update followed by a same-rank depth-0
+    insert is the one collision shape). The counter preserves the exact
+    assignment-time ordering len(self) gave (both are non-decreasing in
+    set order and collisions never occurred), so admitted order — and crawl
+    parity — is unchanged."""
+
+    __slots__ = ("discovery",)
+
+    def __init__(self):
+        super().__init__()
+        self.discovery = 0
 
     def want(self, iid: str, depth: int, rank: int) -> None:
         cur = self.get(iid)
-        key = (depth, rank, len(self))
+        key = (depth, rank, self.discovery)
         if cur is None or key < cur:
             self[iid] = key
+            self.discovery += 1
 
     def merge_key(self, iid: str, key: tuple) -> None:
         cur = self.get(iid)

@@ -41,3 +41,14 @@ def test_phash_deterministic_and_robust():
     dec = decode_image(encode_image(px, "qjpg"), "qjpg")
     h2 = phash64(dec)
     assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 4
+
+
+def test_phash_top_bit_wraps_to_signed():
+    """Top-bit-set hashes (half of all hashes) must wrap to negative int64
+    via Python-int arithmetic — np.int64(np.uint64(v)) raises OverflowError
+    for v >= 2^63 on NumPy >= 2.0 (ADVICE round-4)."""
+    px = np.zeros((64, 64, 3), dtype=np.uint8)
+    px[56:, 56:, :] = 255  # only the (7,7) cell exceeds the global mean -> bit 63 alone
+    h = phash64(px)
+    assert h == -(1 << 63)
+    assert isinstance(h, int)

@@ -892,3 +892,30 @@ def test_advance_committed_bounded_span(ray_session, corpus, small_cfg):
     assert set(burst_link) == w_link == set(eng.link_dict)
     full.shutdown()
     eng.shutdown()
+
+
+def test_debug_invariant_flag_catches_forged_duplicate(monkeypatch):
+    """GRAFT_DEBUG_INVARIANTS=1 re-proves the full fetched-exactly-once id
+    index on every add_wave (survives python -O, unlike the __debug__ delta
+    guard) — forging a duplicate id across waves must raise (VERDICT r4
+    directive #7)."""
+    import pyarrow as pa
+
+    from rayfrontier.pipelines.crawl import _ActorArtifacts
+
+    monkeypatch.setenv("GRAFT_DEBUG_INVARIANTS", "1")
+
+    def wave(ids):
+        return pa.table({"id": pa.array(ids, pa.int64())})
+
+    # clean path: flag on, disjoint waves pass and the index stays sorted
+    arts = _ActorArtifacts()
+    arts.add_wave(wave([1, 3, 5]))
+    arts.add_wave(wave([2, 4]))
+    assert arts.all_ids.tolist() == [1, 2, 3, 4, 5]
+
+    # forged duplicate: id 3 re-fetched in a later wave
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="exactly-once"):
+        arts.add_wave(wave([3, 9]))

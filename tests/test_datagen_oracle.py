@@ -86,3 +86,32 @@ def test_oracle_covers_reference_paths(small_cfg):
     )
     assert res2.crawl_log == res.crawl_log
     assert res2.url_seen == res.url_seen
+
+
+def test_zipf_exp_cache_compat():
+    """Guard the math.exp == np.exp int-equality assumption that regenerated
+    captions rely on for compatibility with corpora cached by np.exp-era code
+    (ADVICE round-4), on THIS box's libm, for the shipped vocab sizes
+    (policy=120, generic=300, foreign=120 — see datagen.vocabularies).
+
+    Two sweeps: a dense linspace and a large sample of u values produced by
+    the actual splitmix stream (the only u values that can ever reach
+    _zipf_word). Adversarially-crafted u at an int boundary CAN show a 1-ulp
+    math/np divergence (verified present even on the reference box:
+    u=ln(16)/harm gives 15.999…8 vs 16.0), but a real draw lands in that
+    ulp-wide window with probability ~2^-50 — the guard that matters is over
+    the reachable stream, which this pins on every box."""
+    import math
+
+    from rayfrontier.datagen import _u
+
+    for n in (120, 300):
+        harm = float(np.log(n + 1.0))
+        us = np.linspace(0.0, 1.0, 200_001, endpoint=False)
+        m = np.array([int(math.exp(u * harm)) for u in us.tolist()])
+        v = np.exp(us * harm).astype(np.int64)
+        assert (m == v).all(), f"dense linspace sweep diverged for n={n}"
+        stream = [_u(1234, f"compat{n}", k) for k in range(100_000)]
+        ms = np.array([int(math.exp(u * harm)) for u in stream])
+        vs = np.exp(np.array(stream) * harm).astype(np.int64)
+        assert (ms == vs).all(), f"splitmix-stream sweep diverged for n={n}"

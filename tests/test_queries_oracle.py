@@ -88,3 +88,13 @@ def test_knn_ivf_recall(entrymod):
     ivf = entrymod.queries()["knn_ivf"](SF_DIR).to_pandas()
     recall = len(set(brute["vec_id"]) & set(ivf["vec_id"])) / len(brute)
     assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_registry_exactly_fifty(entrymod):
+    """The driver records only the FIRST 50 queries() entries; a 51st would
+    silently push a SQL-checked query past the recording window (VERDICT r4
+    directive #8). Every entry keeps its oracle, and vice versa."""
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) == 50, f"registry must stay at exactly 50 entries, got {len(q)}"
+    assert set(o) <= set(q), f"oracle-only keys: {set(o) - set(q)}"
