@@ -433,6 +433,10 @@ def rss_probe(mode: str) -> None:
         out["artifacts_spilled"] = len(eng.artifacts.spill)
         out["artifact_readbacks"] = eng.artifacts.readbacks
         out["rows_spilled"] = eng._row_spill.n_rows
+        # tiered link/policy dicts: strings resident vs escrowed (VERDICT r4
+        # #1 — link/policy residency must be O(active + hot cap))
+        out["link_dict"] = eng.link_dict.resident()
+        out["policy_dict"] = eng.policy_dict.resident()
     eng.shutdown()
     print(json.dumps(out))
     ray.shutdown()

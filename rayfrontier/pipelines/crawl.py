@@ -100,6 +100,21 @@ class Overlay:
         self.local = {}
 
 
+class TieredOverlay(Overlay):
+    """Overlay over a ``state.tiered.TieredLinkDict`` base (bounded mode):
+    passes ``_extract``'s vectorized cold-hash-membership hint through to the
+    tiered probe, so the scalar FNV + escrow verify run only on actual cold
+    hits (revisits of flushed keys), never per first-sight href. ``bump``'s
+    ``get`` needs no hint: a cold hit's verify was memoized by the
+    ``contains`` that necessarily preceded it (tiered memo, flush-scoped)."""
+
+    __slots__ = ()
+    hash_keyed = False
+
+    def contains(self, k, inb=None) -> bool:
+        return k in self.local or self.base.contains(k, inb)
+
+
 @dataclass(frozen=True)
 class Artifact:
     ok: bool
@@ -205,16 +220,17 @@ class _DomainReplay:
             keys = tuple(hash_text(h) for h in hrefs)
         inb = None
         base = getattr(ov, "base", None)
-        if (
-            hrefs
-            and art.href_hashes is not None
-            and isinstance(base, np.ndarray)
-        ):
+        # tiered driver base (bounded mode): the hint array is the cold hash
+        # tier — an inb=False is EXACT absence-from-cold (same string ⇒ same
+        # hash), an inb=True routes to the memoized escrow verify. Driver
+        # artifacts carry href_hashes only in bounded mode (_ingest_block).
+        barr = base if isinstance(base, np.ndarray) else getattr(base, "cold_h", None)
+        if hrefs and art.href_hashes is not None and barr is not None:
             hs = np.asarray(art.href_hashes, dtype=np.uint64)
-            if base.size:
-                p = np.searchsorted(base, hs)
-                pc = np.minimum(p, base.size - 1)
-                inb = ((p < base.size) & (base[pc] == hs)).tolist()
+            if barr.size:
+                p = np.searchsorted(barr, hs)
+                pc = np.minimum(p, barr.size - 1)
+                inb = ((p < barr.size) & (barr[pc] == hs)).tolist()
             else:
                 inb = [False] * len(hrefs)
         links: list[str] = []
@@ -942,10 +958,13 @@ class CrawlEngine:
             self.domains = self.domains[: self.cfg.num_domains]
         self.validate_rows = validate_rows
 
-        # replay state (committed). link_dict/policy_dict stay driver-resident
-        # by SEMANTICS (the reference's global href-seen and content-dedup
-        # dicts gate every future extraction); everything else is spillable —
-        # see the bounded-state block below and SURVEY.md §8.
+        # replay state (committed). link_dict/policy_dict are AUTHORITATIVE by
+        # semantics (the reference's global href-seen and content-dedup dicts
+        # gate every future extraction, and the sharded-commit validation uses
+        # the href dict as its collision guard) — but authoritative ≠ resident:
+        # in bounded mode (cfg.state_cap, set below) they become tiered dicts
+        # (hot string cap + sorted uint64 hash arrays + mmap'd string escrow,
+        # state/tiered.py) with byte-identical outputs (parity-tested).
         self.link_dict: dict[str, int] = {}
         self.policy_dict: dict[int, str] = {}
         self.prefix = 0  # domains fully replayed & committed
@@ -994,12 +1013,22 @@ class CrawlEngine:
         # driver residency changes (parity-tested in tests/test_crawl_parity).
         if self.cfg.state_cap:
             from ..state.spill import ArtifactSpill, RowSpill
+            from ..state.tiered import TieredLinkDict, TieredPolicyDict
 
             root = spill_dir or (
                 os.path.join(checkpoint_dir, "spill") if checkpoint_dir
                 else os.path.join("/tmp", f"rayfrontier_spill_{os.getpid()}_{id(self):x}")
             )
             self._spill_root = root
+            # the last O(total-crawl) driver structures, tiered: hot string
+            # cap (~4 hrefs sighted per capped artifact), cold hash arrays,
+            # string escrow. Dict protocol unchanged; outputs byte-identical.
+            self.link_dict = TieredLinkDict(
+                os.path.join(root, "links"), hot_cap=4 * self.cfg.state_cap
+            )
+            self.policy_dict = TieredPolicyDict(
+                os.path.join(root, "policy"), hot_cap=4 * self.cfg.state_cap
+            )
             self.artifacts: "_SpillBackedArtifacts | dict" = _SpillBackedArtifacts(
                 ArtifactSpill(os.path.join(root, "artifacts"))
             )
@@ -1007,7 +1036,9 @@ class CrawlEngine:
             self._frontier_dir = os.path.join(root, "frontier")
             self.fetched_ids: set[str] | None = None
             self._dead_ids: list[str] = []
+            self._ov_link = TieredOverlay  # hint-aware link overlays
         else:
+            self._ov_link = Overlay
             self._spill_root = None
             self.artifacts = {}
             self._row_spill = None
@@ -1140,7 +1171,7 @@ class CrawlEngine:
                 done, status = rep.resume(scratch)
             else:
                 rep = _DomainReplay(
-                    self, Overlay(self.link_dict), Overlay(self.policy_dict),
+                    self, self._ov_link(self.link_dict), Overlay(self.policy_dict),
                     scratch, self.prefix,
                 )
                 if track_dead:
@@ -1351,9 +1382,11 @@ class CrawlEngine:
             # conflict surface = first-sight mark DECISIONS (vs this burst's
             # writes) + existence of every relatively-bumped key. ``link_junk``
             # needs nothing: junk seen-state cannot alter the walk.
-            ok = (
-                (not w_link or w_link.isdisjoint(link_local))
-                and all(h in self.link_dict for h in link_rel)
+            link_has_all = getattr(self.link_dict, "has_all", None)
+            ok = (not w_link or w_link.isdisjoint(link_local)) and (
+                link_has_all(link_rel)  # tiered: one vectorized hash pass
+                if link_has_all is not None
+                else all(h in self.link_dict for h in link_rel)
             )
             if not ok:
                 # repair: exact serial walk of this ONE domain on the driver,
@@ -1372,9 +1405,11 @@ class CrawlEngine:
             self._delta_buf["link"].extend(link_local)
             if self.ckpt:
                 self._ckpt_link_delta.update(link_local)
-            for h, c in link_local.items():
-                self.link_dict[h] = c
+            # bulk mark merge: dict.update for the plain dict; the tiered
+            # dict's update is its ONE vectorized-hash bulk-insert path
+            self.link_dict.update(link_local)
             for h, n in link_rel.items():
+                # tiered: cold positions were memoized by has_all's verify
                 self.link_dict[h] += n
             for h, n in link_junk.items():
                 # order-independent exact reconstruction: the first sighting
@@ -1468,6 +1503,16 @@ class CrawlEngine:
         hwm["rows_resident"] = max(hwm["rows_resident"], len(self.crawl_rows))
         if pending_n is not None:
             hwm["pending"] = max(hwm["pending"], pending_n)
+        if self.cfg.state_cap:
+            # tiered link/policy residency: STRINGS held on the driver heap
+            # (hot + collision tiers) — the VERDICT r4 #1 evidence surface
+            hwm["link_strings_resident"] = max(
+                hwm.get("link_strings_resident", 0),
+                len(self.link_dict.hot) + len(self.link_dict.collisions),
+            )
+            hwm["policy_values_resident"] = max(
+                hwm.get("policy_values_resident", 0), len(self.policy_dict.hot)
+            )
 
     def _replay(self) -> dict[str, tuple]:
         """Advance the committed prefix; return pending {image_id: priority}."""
@@ -1494,7 +1539,7 @@ class CrawlEngine:
         if self.cfg.tentative_shards > 1 and n_remaining >= 4 * self.cfg.tentative_shards:
             self._replay_distributed(pending)
         else:
-            tent_link, tent_policy = Overlay(self.link_dict), Overlay(self.policy_dict)
+            tent_link, tent_policy = self._ov_link(self.link_dict), Overlay(self.policy_dict)
             # Landing fast path (EXACT, not a cached want-set): a domain whose
             # landing artifact is unfetched blocks at its first _get — the
             # whole walk is one pending.want() with ZERO overlay side effects,
@@ -1595,7 +1640,14 @@ class CrawlEngine:
             )
             for r in range(R)
         ]
-        link_ref = ray.put(fnv1a64_var(list(self.link_dict)))
+        # tiered (bounded) dict: hashes come straight from the cold tier +
+        # a vectorized pass over the hot strings — no escrow materialization
+        link_h = (
+            self.link_dict.key_hashes()
+            if hasattr(self.link_dict, "key_hashes")
+            else fnv1a64_var(list(self.link_dict))
+        )
+        link_ref = ray.put(link_h)
         art_ref = ray.put(self._artifact_snapshot_tables())
         ray.get([a.apply.remote(link_ref, art_ref) for a in actors])
         self._delta_buf = {"link": [], "art": _new_art_cols()}
@@ -1845,11 +1897,27 @@ class CrawlEngine:
         hashes = hashes_i64.astype(np.uint64)
         sims = table["sim"].to_numpy(zero_copy_only=False)
         hrefs_col = table["hrefs"].to_pylist()
+        # bounded mode: precompute per-href hashes (ONE vectorized pass over
+        # the block) so the driver's replay can probe the tiered link dict's
+        # cold tier vectorized per artifact instead of a scalar FNV per href
+        hh_col: list | None = None
+        if self.cfg.state_cap:
+            from ..functions.hashing import fnv1a64_var
+
+            lens = np.fromiter(map(len, hrefs_col), dtype=np.int64, count=len(hrefs_col))
+            flat_h = fnv1a64_var([h for hs in hrefs_col for h in hs])
+            bnd = np.concatenate(([0], np.cumsum(lens)))
+            hh_col = [flat_h[bnd[k]:bnd[k + 1]] for k in range(len(hrefs_col))]
         n_new = 0
-        for iid, ok, th, th_i64, sim, hrefs in zip(iids, oks, hashes, hashes_i64, sims, hrefs_col):
+        for k, (iid, ok, th, th_i64, sim, hrefs) in enumerate(
+            zip(iids, oks, hashes, hashes_i64, sims, hrefs_col)
+        ):
             if iid in self.artifacts:
                 continue
-            art = Artifact(ok=ok, text_hash=int(th), sim=float(sim), hrefs=tuple(hrefs))
+            art = Artifact(
+                ok=ok, text_hash=int(th), sim=float(sim), hrefs=tuple(hrefs),
+                href_hashes=hh_col[k] if hh_col is not None else None,
+            )
             self.artifacts[iid] = art
             self.n_fetched += 1
             if self.fetched_ids is not None:

@@ -1,0 +1,432 @@
+"""Tiered (bounded-residency) crawl dictionaries — the last O(total-crawl)
+driver structures, bounded (VERDICT r4 "What's wrong" #1 / SURVEY §8
+bounded-state contract).
+
+The reference keeps its global href-seen dict and content-policy dict as
+multiprocessing Manager dicts holding every string for the life of the crawl
+(src/crawler.py:350-352, src/verification/verify.py:142-155). The engine's
+semantics genuinely need both to be *authoritative* — every future extraction
+gates on them, and the sharded-commit validation uses the href dict as its
+collision guard — but they do NOT need the strings resident:
+
+- ``TieredLinkDict`` (href string → revisit count): a capped HOT string dict
+  for recent writes; a COLD tier of sorted uint64 FNV-1a hashes with aligned
+  count values (8+8 B/entry resident — the same membership representation the
+  replay range actors already hold, ``crawl.py _ReplayRangeActor.link_base``);
+  and a mmap'd Arrow string ESCROW consulted only when a probe's hash hits the
+  cold array (the collision-verify path): same string ⇒ same hash, so a cold
+  hash MISS is an exact absence, and a hash HIT compares the escrowed string
+  so a 64-bit collision can never corrupt membership — the colliding key is
+  quarantined in a driver-resident ``collisions`` dict (expected ~n²/2⁶⁵
+  entries; a handful even at 10¹⁰).
+- ``TieredPolicyDict`` (64-bit text-hash int → first-winning domain): the key
+  *is* the hash, so membership needs no escrow verify at all; the domain
+  strings (read only by output dumps/tests, never by the walk) live in the
+  escrow.
+
+Both expose enough of the dict protocol that ``Overlay``/checkpoint-resume/
+output-dump call sites are unchanged; outputs are byte-identical to the plain
+dicts (tests/test_crawl_parity.py runs every bounded config through both).
+Driver string residency becomes O(hot cap + collisions) instead of O(total
+distinct URLs); the resident cold arrays are ~20 B/entry, and at 10¹⁰ they
+range-shard exactly like the replay actors' hash bases (SURVEY §8).
+
+Escrow layout mirrors ``spill.ArtifactSpill``: append-only uncompressed
+Feather segments, re-opened memory-mapped, so read-back residency is governed
+by the OS page cache. Each cold hash lives in exactly ONE segment (a key
+whose hash already exists in cold is routed to ``collisions`` — never
+re-escrowed), so ``items()`` streams each entry exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.feather as feather
+
+from ..functions.hashing import fnv1a64_var, hash_text
+from .spill import col_np
+
+
+class TieredLinkDict:
+    """str→int dict with bounded resident strings (see module docstring).
+
+    Probe order: hot → collisions → cold hash array (+ escrow string verify
+    on hash-hit). The verify result is memoized per string until the next
+    flush (cold is immutable between flushes), so a contains→bump→commit
+    sequence on the same key verifies once. Bulk writes go through
+    ``update`` — ONE vectorized hash pass for the whole batch; the hot dict
+    may transiently exceed the cap by one batch (a single domain's writes,
+    already O(active) by the bounded-state contract) because flushing
+    mid-batch would invalidate the batch's precomputed cold-membership mask.
+    """
+
+    __slots__ = (
+        "root", "hot", "collisions", "hot_cap", "cold_h", "cold_c", "cold_seg",
+        "_segs", "_seg_h", "_memo", "_hash", "_hash_vec",
+        "flushes", "escrow_reads", "hwm_hot",
+    )
+
+    def __init__(self, root: str, hot_cap: int, hash_scalar=hash_text, hash_vec=fnv1a64_var):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.hot: dict[str, int] = {}
+        self.collisions: dict[str, int] = {}
+        self.hot_cap = max(int(hot_cap), 8)
+        self.cold_h = np.empty(0, dtype=np.uint64)
+        self.cold_c = np.empty(0, dtype=np.int64)
+        self.cold_seg = np.empty(0, dtype=np.int32)
+        self._segs: list[pa.Table] = []       # mmap'd (h asc, k) segments
+        self._seg_h: list[np.ndarray] = []    # zero-copy views of each h col
+        self._memo: dict[str, int] = {}       # verified cold position | -1
+        self._hash = hash_scalar
+        self._hash_vec = hash_vec
+        self.flushes = 0
+        self.escrow_reads = 0
+        self.hwm_hot = 0
+
+    # -- probes ---------------------------------------------------------------
+    def _cold_pos(self, k: str, inb: bool | None = None, h: int | None = None) -> int:
+        """Verified cold position of ``k``, or -1. ``inb`` is a caller-supplied
+        vectorized cold-hash-membership hint (exact for False: same string ⇒
+        same hash); ``h`` skips the scalar re-hash when the caller has it."""
+        p = self._memo.get(k)
+        if p is not None:
+            return p
+        if inb is False:
+            return -1
+        ch = self.cold_h
+        if not ch.size:
+            return -1
+        if h is None:
+            h = self._hash(k)
+        pos = int(np.searchsorted(ch, np.uint64(h)))
+        if pos >= ch.size or int(ch[pos]) != h:
+            return -1
+        # hash hit → escrow string verify (the 64-bit collision guard)
+        si = int(self.cold_seg[pos])
+        q = int(np.searchsorted(self._seg_h[si], np.uint64(h)))
+        self.escrow_reads += 1
+        res = pos if self._segs[si]["k"][q].as_py() == k else -1
+        if len(self._memo) > 8 * self.hot_cap:
+            self._memo.clear()
+        self._memo[k] = res
+        return res
+
+    def contains(self, k: str, inb: bool | None = None) -> bool:
+        return (
+            k in self.hot or k in self.collisions or self._cold_pos(k, inb) >= 0
+        )
+
+    def __contains__(self, k: str) -> bool:
+        return self.contains(k)
+
+    def get(self, k: str, default=None):
+        v = self.hot.get(k)
+        if v is not None:
+            return v
+        v = self.collisions.get(k)
+        if v is not None:
+            return v
+        pos = self._cold_pos(k)
+        return int(self.cold_c[pos]) if pos >= 0 else default
+
+    def __getitem__(self, k: str) -> int:
+        v = self.get(k)
+        if v is None:
+            raise KeyError(k)
+        return v
+
+    def has_all(self, keys) -> bool:
+        """Vectorized all-membership (the sharded-commit rel-key validation):
+        one hash pass over the hot/collision misses instead of a scalar FNV
+        per key; escrow verifies memoize for the merge that follows."""
+        hot, col = self.hot, self.collisions
+        miss = [k for k in keys if k not in hot and k not in col]
+        if not miss:
+            return True
+        ch = self.cold_h
+        if not ch.size:
+            return False
+        hs = self._hash_vec(miss)
+        p = np.searchsorted(ch, hs)
+        pc = np.minimum(p, ch.size - 1)
+        if not ((p < ch.size) & (ch[pc] == hs)).all():
+            return False
+        return all(self._cold_pos(k, h=int(h)) >= 0 for k, h in zip(miss, hs))
+
+    # -- writes ---------------------------------------------------------------
+    def __setitem__(self, k: str, v: int) -> None:
+        if k in self.hot:
+            self.hot[k] = v
+            return
+        if k in self.collisions:
+            self.collisions[k] = v
+            return
+        pos = self._cold_pos(k)
+        if pos >= 0:
+            self.cold_c[pos] = v
+            return
+        self.hot[k] = v
+        if len(self.hot) > self.hot_cap:
+            self._flush()
+
+    def update(self, d: dict) -> None:
+        if not d:
+            return
+        ks = list(d)
+        ch = self.cold_h
+        if ch.size:
+            hs = self._hash_vec(ks)
+            p = np.searchsorted(ch, hs)
+            pc = np.minimum(p, ch.size - 1)
+            hit = (p < ch.size) & (ch[pc] == hs)
+        else:
+            hs = None
+            hit = np.zeros(len(ks), dtype=bool)
+        hot, col = self.hot, self.collisions
+        for i, k in enumerate(ks):
+            v = d[k]
+            if k in hot:
+                hot[k] = v
+                continue
+            if k in col:
+                col[k] = v
+                continue
+            if hit[i] and self._cold_pos(k, h=int(hs[i])) >= 0:
+                self.cold_c[self._memo[k]] = v
+                continue
+            hot[k] = v
+        if len(hot) > self.hot_cap:
+            self._flush()
+
+    def _flush(self) -> None:
+        """Move the hot tier to cold: vectorized hash, intra-batch duplicate
+        hashes quarantined to ``collisions`` (cold holds exactly one string
+        per hash, escrowed), one Feather escrow segment, sorted-merge into
+        the resident arrays. Keys already cold can never be hot (setitem
+        routes cold hits in place), so batch∩cold = ∅ — asserted cheaply."""
+        hot = self.hot
+        if not hot:
+            return
+        self.hwm_hot = max(self.hwm_hot, len(hot) + len(self.collisions))
+        ks = list(hot)
+        hs = self._hash_vec(ks)
+        order = np.argsort(hs, kind="stable")
+        hs_s = hs[order]
+        dup = np.zeros(hs_s.size, dtype=bool)
+        if hs_s.size > 1:
+            eq = hs_s[1:] == hs_s[:-1]
+            dup[1:] |= eq
+            dup[:-1] |= eq
+        for j in order[dup]:
+            k = ks[int(j)]
+            self.collisions[k] = hot[k]
+        keep_idx = order[~dup]
+        kept_h = hs[keep_idx]  # ascending (order-sorted, dups removed)
+        if kept_h.size:
+            ch = self.cold_h
+            if __debug__ and ch.size:
+                p = np.searchsorted(ch, kept_h)
+                pc = np.minimum(p, ch.size - 1)
+                assert not ((p < ch.size) & (ch[pc] == kept_h)).any(), (
+                    "hot key hash already cold — setitem routing invariant broken"
+                )
+            keys_sorted = [ks[int(j)] for j in keep_idx]
+            vals = np.fromiter(
+                (hot[k] for k in keys_sorted), dtype=np.int64, count=len(keys_sorted)
+            )
+            si = len(self._segs)
+            t = pa.table({"h": pa.array(kept_h), "k": pa.array(keys_sorted, pa.string())})
+            path = os.path.join(self.root, f"links_{si:05d}.arrow")
+            feather.write_feather(t, path + ".tmp", compression="uncompressed")
+            os.replace(path + ".tmp", path)
+            mm = feather.read_table(path, memory_map=True)
+            self._segs.append(mm)
+            self._seg_h.append(col_np(mm, "h"))
+            ins = np.searchsorted(ch, kept_h)
+            self.cold_h = np.insert(ch, ins, kept_h)
+            self.cold_c = np.insert(self.cold_c, ins, vals)
+            self.cold_seg = np.insert(self.cold_seg, ins, np.int32(si))
+        hot.clear()
+        self._memo.clear()
+        self.flushes += 1
+
+    # -- bulk / output surfaces -------------------------------------------------
+    def key_hashes(self) -> np.ndarray:
+        """uint64 hash of every key — the replay-actor membership snapshot
+        (``crawl.py _ensure_replay_actors``) without materializing the cold
+        strings. Collision keys duplicate a cold hash; membership consumers
+        union/sort, so duplicates are harmless."""
+        extra = list(self.hot) + list(self.collisions)
+        if not extra:
+            return self.cold_h.copy()
+        return np.concatenate([self.cold_h, self._hash_vec(extra)])
+
+    def items(self):
+        out = list(self.hot.items()) + list(self.collisions.items())
+        for seg, seg_h in zip(self._segs, self._seg_h):
+            pos = np.searchsorted(self.cold_h, seg_h)
+            counts = self.cold_c[pos]
+            out.extend(zip(seg["k"].to_pylist(), counts.tolist()))
+        return out
+
+    def keys(self):
+        return [k for k, _ in self.items()]
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __len__(self) -> int:
+        return len(self.hot) + len(self.collisions) + self.cold_h.size
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def to_dict(self) -> dict:
+        return dict(self.items())
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, (TieredLinkDict, TieredPolicyDict)):
+            return self.to_dict() == other.to_dict()
+        if isinstance(other, dict):
+            return self.to_dict() == other
+        return NotImplemented
+
+    def resident(self) -> dict:
+        """Residency evidence (bench.py --rss): strings held on the driver
+        heap vs hash-array entries vs escrowed strings."""
+        return {
+            "hot_strings": len(self.hot),
+            "collision_strings": len(self.collisions),
+            "hwm_hot_strings": max(self.hwm_hot, len(self.hot) + len(self.collisions)),
+            "cold_entries": int(self.cold_h.size),
+            "segments": len(self._segs),
+            "escrow_reads": self.escrow_reads,
+            "flushes": self.flushes,
+        }
+
+
+class TieredPolicyDict:
+    """int(64-bit text hash)→str dict with bounded resident values.
+
+    The key IS the content hash, so cold membership is one searchsorted with
+    no verify; the domain values are never read by the walk (first-wins
+    membership decides dup/sim) — they surface only in output dumps/tests,
+    streamed from the escrow. First-wins makes cold values immutable: a
+    re-set of a cold key is a no-op by contract (asserted in tests)."""
+
+    __slots__ = (
+        "root", "hot", "hot_cap", "cold_h", "cold_seg", "_segs", "_seg_h",
+        "flushes", "hwm_hot",
+    )
+
+    def __init__(self, root: str, hot_cap: int):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.hot: dict[int, str] = {}
+        self.hot_cap = max(int(hot_cap), 8)
+        self.cold_h = np.empty(0, dtype=np.uint64)
+        self.cold_seg = np.empty(0, dtype=np.int32)
+        self._segs: list[pa.Table] = []
+        self._seg_h: list[np.ndarray] = []
+        self.flushes = 0
+        self.hwm_hot = 0
+
+    def _cold_pos(self, k: int) -> int:
+        ch = self.cold_h
+        if not ch.size:
+            return -1
+        pos = int(np.searchsorted(ch, np.uint64(k)))
+        return pos if pos < ch.size and int(ch[pos]) == k else -1
+
+    def __contains__(self, k: int) -> bool:
+        return k in self.hot or self._cold_pos(k) >= 0
+
+    def get(self, k: int, default=None):
+        v = self.hot.get(k)
+        if v is not None:
+            return v
+        pos = self._cold_pos(k)
+        if pos < 0:
+            return default
+        si = int(self.cold_seg[pos])
+        q = int(np.searchsorted(self._seg_h[si], np.uint64(k)))
+        return self._segs[si]["v"][q].as_py()
+
+    def __setitem__(self, k: int, v: str) -> None:
+        if k in self.hot:
+            self.hot[k] = v
+            return
+        if self._cold_pos(k) >= 0:
+            return  # first-wins: cold values are immutable by contract
+        self.hot[k] = v
+        if len(self.hot) > self.hot_cap:
+            self._flush()
+
+    def update(self, d: dict) -> None:
+        for k, v in d.items():
+            self[k] = v
+
+    def _flush(self) -> None:
+        hot = self.hot
+        if not hot:
+            return
+        self.hwm_hot = max(self.hwm_hot, len(hot))
+        hs = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
+        order = np.argsort(hs, kind="stable")
+        hs_s = hs[order]
+        vals = list(hot.values())
+        vals_sorted = [vals[int(j)] for j in order]
+        si = len(self._segs)
+        t = pa.table({"h": pa.array(hs_s), "v": pa.array(vals_sorted, pa.string())})
+        path = os.path.join(self.root, f"policy_{si:05d}.arrow")
+        feather.write_feather(t, path + ".tmp", compression="uncompressed")
+        os.replace(path + ".tmp", path)
+        mm = feather.read_table(path, memory_map=True)
+        self._segs.append(mm)
+        self._seg_h.append(col_np(mm, "h"))
+        ins = np.searchsorted(self.cold_h, hs_s)
+        self.cold_h = np.insert(self.cold_h, ins, hs_s)
+        self.cold_seg = np.insert(self.cold_seg, ins, np.int32(si))
+        hot.clear()
+        self.flushes += 1
+
+    def items(self):
+        out = list(self.hot.items())
+        for seg, seg_h in zip(self._segs, self._seg_h):
+            out.extend(zip((int(h) for h in seg_h.tolist()), seg["v"].to_pylist()))
+        return out
+
+    def keys(self):
+        return [k for k, _ in self.items()]
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __len__(self) -> int:
+        return len(self.hot) + self.cold_h.size
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def to_dict(self) -> dict:
+        return dict(self.items())
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, (TieredLinkDict, TieredPolicyDict)):
+            return self.to_dict() == other.to_dict()
+        if isinstance(other, dict):
+            return self.to_dict() == other
+        return NotImplemented
+
+    def resident(self) -> dict:
+        return {
+            "hot_values": len(self.hot),
+            "hwm_hot_values": max(self.hwm_hot, len(self.hot)),
+            "cold_entries": int(self.cold_h.size),
+            "segments": len(self._segs),
+            "flushes": self.flushes,
+        }
