@@ -175,6 +175,11 @@ def run_crawl_bench() -> dict:
     }
     if ccfg.sharded_commit:
         out["commit_stats"] = dict(eng.commit_stats)
+    if eng.admit_secs is not None:  # GRAFT_DEBUG_PHASES=1
+        out["admit_secs"] = {
+            k: (v if isinstance(v, list) else round(v, 3))
+            for k, v in eng.admit_secs.items()
+        }
     return out
 
 

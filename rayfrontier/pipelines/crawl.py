@@ -1003,6 +1003,24 @@ class CrawlEngine:
         # box can't show it, because moving the walk onto co-resident actors
         # frees a driver core that has nothing else scheduled on it.
         self.phase_cpu_secs = {k: 0.0 for k in self.phase_secs}
+        # admit sub-phase wall (GRAFT_DEBUG_PHASES=1 only): sort = frontier
+        # lexsort + admitted-list build, bucket = host grouping, grant = the
+        # politeness RPC round (issue→get), collect = grant consumption
+        self.admit_secs: dict[str, float] | None = (
+            {"sort": 0.0, "bucket": 0.0, "grant": 0.0, "collect": 0.0}
+            if os.environ.get("GRAFT_DEBUG_PHASES") else None
+        )
+        # First-admit-wave politeness grants are computed DRIVER-SIDE with
+        # the same PolitenessShard class: at the first wave of any run the
+        # shards' state is deterministically fresh (full burst per host;
+        # politeness is scheduling-only and never checkpointed — see
+        # resume()), while the remote actors were kicked off only moments
+        # ago, so the wave-0 grant RPC otherwise blocks on actor cold-start
+        # (0.46-0.72 s measured via admit_secs on a quiet box at 300k;
+        # steady-state grant waves are 3-7 ms). The locals' post-wave state
+        # ships to the remote actors via load() before any later grant —
+        # per-submitter actor-task FIFO makes the ordering safe.
+        self._pol_shipped = False  # True once the local state moved to actors
 
         self.ckpt = CheckpointDir(checkpoint_dir) if checkpoint_dir else None
 
@@ -2145,11 +2163,16 @@ class CrawlEngine:
 
         start_wave = self.resume() if (resume and self.ckpt) else 0
         wave = start_wave
-        self._ensure_blocks()  # submit shard loads now; they overlap replay
         # actor creation is fully async (12 remote spawns + 2 ray.put, no
-        # gets) — kick it here so worker-process spawn overlaps the wave-0
-        # replay instead of serializing into the first admit (~0.2-0.3 s)
+        # gets) — kick it BEFORE the shard-load submits so the actors claim
+        # prestarted idle workers. Submitted after the loads, every prestarted
+        # worker is already busy loading blocks and Ray must fork fresh
+        # processes for the actors: measured wave-0 grant wait 0.72 s that
+        # way vs 0.28 s for spawn+first-grant on idle workers (admit_secs
+        # sub-timers, quiet box, 300k). Steady-state grant waves are 3-7 ms,
+        # so actor cold-start was the entire remaining admit-phase cost.
         self._ensure_actors()
+        self._ensure_blocks()  # submit shard loads now; they overlap replay
         while True:
             t0 = time.time()
             tc0 = time.process_time()
@@ -2173,6 +2196,7 @@ class CrawlEngine:
             # sorted(items, key=kv[1]) exactly regardless of crawl depth.
             # The Python tuple sort was ~60 ms/wave at an 80k frontier and
             # is O(P log P) driver serial at any scale
+            t_sub = time.time() if self.admit_secs is not None else 0.0
             iid_list = list(pending.keys())
             n_p = len(iid_list)
             if n_p:
@@ -2215,6 +2239,9 @@ class CrawlEngine:
             # replaced by per-HOST work only. The stable argsort keeps each
             # host's members in global priority order, so "first g per host"
             # admits exactly the ids the old per-URL append path did.
+            if self.admit_secs is not None:
+                self.admit_secs["sort"] += time.time() - t_sub
+                t_sub = time.time()
             actors = self._ensure_actors()
             hm = self.resolver.hm
             iids = [iid_list[i] for i in top]
@@ -2234,16 +2261,47 @@ class CrawlEngine:
             shard_hosts: dict[int, list[int]] = {}
             for k in name_order:
                 shard_hosts.setdefault(hash_text(names[k]) % nps, []).append(k)
+            if self.admit_secs is not None:
+                self.admit_secs["bucket"] += time.time() - t_sub
+                t_sub = time.time()
             cap_h = self.cfg.per_host_wave_cap
-            grant_futs = {
-                s: pol[s].grant.remote(
-                    [names[k] for k in ks], [min(int(h_counts[k]), cap_h) for k in ks]
-                )
-                for s, ks in shard_hosts.items()
-            }
+            pol_local = None
+            if not self._pol_shipped:
+                # first admit wave: compute grants driver-side (see the
+                # _pol_shipped comment in __init__ — removes the actor
+                # cold-start wait from the critical path)
+                from ..state.politeness import PolitenessShard
+
+                pol_local = [
+                    PolitenessShard(
+                        tokens_per_wave=self.cfg.host_tokens_per_wave,
+                        burst=2 * self.cfg.host_tokens_per_wave,
+                    )
+                    for _ in range(nps)
+                ]
+                grant_futs = {
+                    s: pol_local[s].grant(
+                        [names[k] for k in ks], [min(int(h_counts[k]), cap_h) for k in ks]
+                    )
+                    for s, ks in shard_hosts.items()
+                }
+            else:
+                grant_futs = {
+                    s: pol[s].grant.remote(
+                        [names[k] for k in ks], [min(int(h_counts[k]), cap_h) for k in ks]
+                    )
+                    for s, ks in shard_hosts.items()
+                }
             admitted: list[str] = []
+            if self.admit_secs is not None:
+                if pol_local is None:
+                    ray.wait(list(grant_futs.values()), num_returns=len(grant_futs))
+                dt_g = time.time() - t_sub
+                self.admit_secs["grant"] += dt_g
+                self.admit_secs.setdefault("grant_waves", []).append(round(dt_g, 3))
+                t_sub = time.time()
             for s, ks in shard_hosts.items():
-                grants = ray.get(grant_futs[s])
+                grants = grant_futs[s] if pol_local is not None else ray.get(grant_futs[s])
                 for k, g in zip(ks, grants):
                     g = int(g)
                     sel = grp[h_starts[k] : h_starts[k] + g]
@@ -2255,8 +2313,20 @@ class CrawlEngine:
             # run FIFO, so next wave's grant on the same shard necessarily
             # executes after its refill — waiting here only adds a per-wave
             # sync point (politeness is scheduling-only state, never dumped)
-            for p in pol:
-                p.refill.remote()
+            if pol_local is not None:
+                # apply the wave's refill locally, then ship each shard's
+                # state to its actor; FIFO per actor orders load() before
+                # the next wave's grant, and remote refill is skipped this
+                # wave because the shipped state is already post-refill
+                for s, sh in enumerate(pol_local):
+                    sh.refill()
+                    pol[s].load.remote(sh.dump())
+                self._pol_shipped = True
+            else:
+                for p in pol:
+                    p.refill.remote()
+            if self.admit_secs is not None:
+                self.admit_secs["collect"] += time.time() - t_sub
             self.phase_secs["admit"] += time.time() - t_admit
             self.phase_cpu_secs["admit"] += time.process_time() - tc_admit
             t_fetch = time.time()
