@@ -90,6 +90,7 @@ def _bench_cfgs():
         ccfg = replace(
             ccfg,
             sharded_commit=True,
+            striped_commit=bool(os.environ.get("GRAFT_STRIPED_COMMIT")),
             tentative_shards=int(os.environ.get("GRAFT_TENTATIVE_SHARDS", "8")),
         )
     elif os.environ.get("GRAFT_TENTATIVE_SHARDS"):

@@ -66,6 +66,20 @@ class CrawlConfig:
                                        # exclusive with overlap_replay (both
                                        # re-enter the committed pass; the
                                        # engine rejects the combination).
+    striped_commit: bool = False       # sharded_commit range assignment
+                                       # variant: actor r speculates ranks
+                                       # {p : p % R == r} (rank-striped)
+                                       # instead of a contiguous block, so a
+                                       # contiguous commit burst spreads
+                                       # across all R actors instead of
+                                       # landing in one (VERDICT r4 #2). The
+                                       # trade-off: every domain's speculation
+                                       # misses its R-1 predecessors' writes
+                                       # (vs only at R-1 block boundaries), so
+                                       # cross-domain first-sight collisions
+                                       # within a burst become repairs — see
+                                       # the A/B in BASELINE.md before turning
+                                       # this on. Requires sharded_commit.
     state_cap: int | None = None       # bounded-driver-state mode (SURVEY §8):
                                        # hot-artifact cap before consumed
                                        # artifacts spill to mmap'd Arrow files,

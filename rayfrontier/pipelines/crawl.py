@@ -749,18 +749,30 @@ class _ReplayRangeActor:
         self.c_next = None
 
     def commit_range(self, prefix_from: int, reset: bool = False,
-                     track_dead: bool = False, want_cap: int = 0) -> dict:
+                     track_dead: bool = False, want_cap: int = 0,
+                     stripe: tuple[int, int] | None = None,
+                     depth: int = 0) -> dict:
         """COMMITTED replay of ``domains[max(lo, prefix_from):hi]`` on this
         range's lane (cfg.sharded_commit). Returns per-domain decision
         records for the driver to validate and sequence — the acceptance
         protocol lives in ``CrawlEngine._advance_committed_sharded``. A
         blocked domain keeps its suspended replay here and resumes on the
-        next call (same semantics as the driver's serial suspension)."""
+        next call (same semantics as the driver's serial suspension).
+
+        ``stripe=(r, R)`` (cfg.striped_commit): walk ranks ``prefix_from,
+        prefix_from+R, ...`` (the caller aligns ``prefix_from % R == r``)
+        instead of this actor's contiguous [lo, hi) — the whole domain list
+        is resident on every actor, so only the walk order changes. ``depth``
+        caps the number of completed records (0 = unbounded): striped walks
+        would otherwise speculate the entire remaining crawl every wave."""
         from ..state.spill import PendingDict
 
         if reset:
             self.reset_lane()
-        start = max(self.lo, prefix_from)
+        if stripe is None:
+            start, step, hi = max(self.lo, prefix_from), 1, self.hi
+        else:
+            start, step, hi = prefix_from, stripe[1], len(self.domains)
         if self.c_next is None:
             self.c_next = start
         elif self.c_next != start:
@@ -774,7 +786,7 @@ class _ReplayRangeActor:
         out: list[dict] = []
         blocked: dict | None = None
         rank = start
-        while rank < self.hi:
+        while rank < hi and not (depth and len(out) >= depth):
             rep = self.c_susp
             if rep is not None:
                 # base arrays are REPLACED by apply() (union1d), not mutated —
@@ -806,7 +818,7 @@ class _ReplayRangeActor:
                 }
             )
             self.c_link.update(rep.link_ov.local)
-            rank += 1
+            rank += step
         self.c_next = rank
         wants = dict(pending)
         if want_cap and len(wants) > want_cap:
@@ -948,6 +960,9 @@ class CrawlEngine:
                     "sharded_commit and overlap_replay both re-enter the "
                     "committed pass; pick one"
                 )
+        elif self.cfg.striped_commit:
+            raise ValueError("striped_commit is a sharded_commit range-"
+                             "assignment variant: set sharded_commit=True")
         self.store = PagesStore(corpus_dir, dcfg.n_shards)
         self.resolver = SyntheticStore(dcfg)  # pure URL→index topology
         self.robots = robots
@@ -1068,6 +1083,21 @@ class CrawlEngine:
         # sharded-commit observability: accepted speculative domains, range
         # conflicts (exact recompute), collision fallbacks (serial span)
         self.commit_stats = {"spec_accepted": 0, "repairs": 0}
+        # cross-wave conflict carry for an actor-held suspension: a blocked
+        # domain's walk made its pre-block first-sight decisions against the
+        # base state of the wave it was ISSUED in, but its record is only
+        # validated when the domain completes — one or more waves later, when
+        # the per-wave burst accumulator (w_link) has been reset and that
+        # wave's writes have moved into link_dict/base. Without this carry a
+        # resumed record can keep a first-sight mark on a key another range/
+        # stripe marked in the suspension's first wave — the serial replay
+        # would have seen it and SKIPPED (measured: striped_commit parity
+        # broke exactly here; contiguous mode has the same hole latently —
+        # it needs a burst crossing a range boundary INTO the blocked range
+        # in the suspension wave). (rank, marks committed since the walk was
+        # issued); validated as w_link ∪ carry — one-sided: a false positive
+        # only triggers an exact serial repair.
+        self._susp_carry: tuple[int, set[str]] | None = None
         self._resolve_cache: dict[str, int | None] = {}
         # rank → landing image id (None: unresolvable or robots-disallowed),
         # built once — domains and robots rules are immutable for a crawl
@@ -1327,6 +1357,9 @@ class CrawlEngine:
         # wanted-but-not-admitted set: an actor-side drop never reaches the
         # driver's evicted_tail bookkeeping.
         cap = 0 if self._frontier_dir is not None else self.cfg.wave_url_cap
+        if self.cfg.striped_commit:
+            self._advance_committed_striped(pending, burst, track_dead, cap, actors, R)
+            return
         todo = [r for r in range(R) if max(bounds[r], self.prefix) < bounds[r + 1]]
         futs: dict[int, "ray.ObjectRef"] = {}
 
@@ -1373,6 +1406,7 @@ class CrawlEngine:
                 # a clean lane == the accepted writes: the suspension resumes
                 # next wave without a reset; any repair diverged it
                 self._lane_dirty[r] = not clean
+                self._carry_over_block(clean, w_link)
                 stop = True
             elif verdict == "ok":
                 if clean and self.prefix >= bounds[r + 1]:
@@ -1388,101 +1422,229 @@ class CrawlEngine:
         authoritative driver state, repairing rejected domains in place.
         Returns 'ok' (range exhausted) or 'blocked' (accepted/repaired
         through a suspended domain)."""
-        burst_link, w_link = burst
         for d in res["domains"]:
-            if d["rank"] != self.prefix:
-                raise RuntimeError(
-                    f"sharded-commit sequencing skew: record rank {d['rank']} "
-                    f"at committed prefix {self.prefix}"
-                )
-            link_local, link_rel = d["link_local"], d["link_rel"]
-            link_junk = d["link_junk"]
-            # conflict surface = first-sight mark DECISIONS (vs this burst's
-            # writes) + existence of every relatively-bumped key. ``link_junk``
-            # needs nothing: junk seen-state cannot alter the walk.
-            link_has_all = getattr(self.link_dict, "has_all", None)
-            ok = (not w_link or w_link.isdisjoint(link_local)) and (
+            st = self._consume_commit_record(d, pending, burst, track_dead)
+            if st == "repair_blocked":
+                return "blocked"
+        b = res["blocked"]
+        if b is not None:
+            self._consume_blocked_tail(b, res["wants"], pending)
+            return "blocked"
+        return "ok"
+
+    def _advance_committed_striped(
+        self, pending, burst, track_dead, cap: int, actors, R: int
+    ) -> None:
+        """Rank-striped consume loop (cfg.striped_commit; VERDICT r4 #2 A/B).
+
+        Actor r speculates ranks {p : p % R == r}, so a contiguous commit
+        burst spreads across all R actors instead of landing in one range;
+        the driver still consumes records in exact rank order, pulling rank
+        p's record from actor p % R. Validation/repair/accept per record is
+        the SAME `_consume_commit_record` the contiguous path uses — only
+        the record source changes, so outputs stay byte-identical.
+
+        The structural trade-off vs contiguous assignment: a domain's
+        speculation never sees its R-1 predecessors' same-burst writes (the
+        contiguous lane carries them within a range), so every cross-domain
+        first-sight collision inside a burst becomes a rule-(1) repair
+        instead of only the ones crossing R-1 range boundaries. commit_stats
+        carries the repair count — that is the A/B's deciding number.
+
+        Depth is adaptive: wave-start issues carry ~last wave's per-stripe
+        consumption, and a stripe that exhausts mid-burst continues on its
+        own lane with doubled depth (pointer continuity: the actor's c_next
+        equals the continuation start by construction), so a tail burst
+        deepens to the burst length within log2 continuation rounds while a
+        politeness-bound wave speculates only R one-domain walks."""
+        import ray
+
+        n = len(self.domains)
+        D = max(1, getattr(self, "_stripe_depth", 2))
+        futs: dict[int, "ray.ObjectRef"] = {}
+        res: dict[int, dict] = {}
+        iters: dict[int, object] = {}
+        clean: dict[int, bool] = {r: True for r in range(R)}
+
+        def _issue(r: int, start: int, reset: bool, depth: int) -> None:
+            futs[r] = actors[r].commit_range.remote(
+                start, reset, track_dead, cap, stripe=(r, R), depth=depth
+            )
+            self._lane_dirty[r] = True  # until cleanly consumed
+
+        for r in range(R):
+            start = self.prefix + ((r - self.prefix) % R)
+            if start < n:
+                _issue(r, start, self._lane_dirty[r], D)
+        consumed = 0
+        blocked = False
+        while self.prefix < n:
+            p = self.prefix
+            r = p % R
+            if r in futs:
+                res[r] = ray.get(futs.pop(r))
+                iters[r] = iter(res[r]["domains"])
+            d = next(iters[r], None)
+            while d is None and res[r]["blocked"] is None:
+                # depth-exhausted mid-burst: continue this stripe's lane
+                # (actor pointer c_next == res[r]["next"] == p)
+                D = min(2 * D, (n - p) // R + 1)
+                _issue(r, res[r]["next"], False, D)
+                res[r] = ray.get(futs.pop(r))
+                iters[r] = iter(res[r]["domains"])
+                d = next(iters[r], None)
+            if d is None:
+                # global frontier block; a cleanly-consumed stripe keeps its
+                # suspension for next wave (same rule as contiguous)
+                self._consume_blocked_tail(res[r]["blocked"], res[r]["wants"], pending)
+                self._lane_dirty[r] = not clean[r]
+                self._carry_over_block(clean[r], burst[1])
+                blocked = True
+                break
+            st = self._consume_commit_record(d, pending, burst, track_dead)
+            if st == "repair_blocked":
+                blocked = True
+                break
+            if st == "repaired":
+                clean[r] = False
+            consumed += 1
+        # wave-start depth for next time ≈ this wave's per-stripe burst share
+        self._stripe_depth = max(1, -(-consumed // R))
+        if not blocked and self.prefix >= n:
+            self._blocked_iid = None
+        # stale futures for the other stripes are never drained — per-actor
+        # FIFO absorbs them before next wave's apply/commit_range, and their
+        # lanes (dirtied at issue) reset on re-issue
+
+    def _consume_commit_record(self, d: dict, pending, burst, track_dead) -> str:
+        """Validate + sequence ONE per-domain decision record (the body of
+        the contiguous consume loop, shared verbatim by the striped consume
+        — cfg.striped_commit — which interleaves records from R stripe
+        results in rank order). Returns 'accepted', 'repaired', or
+        'repair_blocked' (a repair's serial re-walk suspended on a missing
+        artifact — the defensive path)."""
+        burst_link, w_link = burst
+        if d["rank"] != self.prefix:
+            raise RuntimeError(
+                f"sharded-commit sequencing skew: record rank {d['rank']} "
+                f"at committed prefix {self.prefix}"
+            )
+        link_local, link_rel = d["link_local"], d["link_rel"]
+        link_junk = d["link_junk"]
+        # conflict surface = first-sight mark DECISIONS (vs this burst's
+        # writes, plus the cross-wave carry for a record resumed from an
+        # actor-held suspension — see _susp_carry in __init__) + existence
+        # of every relatively-bumped key. ``link_junk`` needs nothing: junk
+        # seen-state cannot alter the walk.
+        carry = (
+            self._susp_carry[1]
+            if self._susp_carry is not None and self._susp_carry[0] == d["rank"]
+            else None
+        )
+        self._susp_carry = None  # the suspended rank commits now, either path
+        link_has_all = getattr(self.link_dict, "has_all", None)
+        ok = (
+            (not w_link or w_link.isdisjoint(link_local))
+            and (not carry or carry.isdisjoint(link_local))
+            and (
                 link_has_all(link_rel)  # tiered: one vectorized hash pass
                 if link_has_all is not None
                 else all(h in self.link_dict for h in link_rel)
             )
-            if not ok:
-                # repair: exact serial walk of this ONE domain on the driver,
-                # then keep consuming the range's later records
-                self.commit_stats["repairs"] += 1
-                self._advance_committed(pending, until=d["rank"] + 1, burst=burst)
-                if self._suspended is not None:
-                    # repair blocked on a missing artifact (possible only if
-                    # the driver's artifact view trails the actor's — defensive)
-                    return "blocked"
-                continue
-            # accept — mirror the serial commit block exactly
-            domain = self.domains[d["rank"]]
-            if hasattr(pending, "protect_rank"):
-                pending.protect_rank = self.prefix
-            self._delta_buf["link"].extend(link_local)
-            if self.ckpt:
-                self._ckpt_link_delta.update(link_local)
-            # bulk mark merge: dict.update for the plain dict; the tiered
-            # dict's update is its ONE vectorized-hash bulk-insert path
-            self.link_dict.update(link_local)
-            for h, n in link_rel.items():
-                # tiered: cold positions were memoized by has_all's verify
+        )
+        if not ok:
+            # repair: exact serial walk of this ONE domain on the driver,
+            # then keep consuming the range's later records
+            self.commit_stats["repairs"] += 1
+            self._advance_committed(pending, until=d["rank"] + 1, burst=burst)
+            if self._suspended is not None:
+                # repair blocked on a missing artifact (possible only if
+                # the driver's artifact view trails the actor's — defensive)
+                return "repair_blocked"
+            return "repaired"
+        # accept — mirror the serial commit block exactly
+        domain = self.domains[d["rank"]]
+        if hasattr(pending, "protect_rank"):
+            pending.protect_rank = self.prefix
+        self._delta_buf["link"].extend(link_local)
+        if self.ckpt:
+            self._ckpt_link_delta.update(link_local)
+        # bulk mark merge: dict.update for the plain dict; the tiered
+        # dict's update is its ONE vectorized-hash bulk-insert path
+        self.link_dict.update(link_local)
+        for h, n in link_rel.items():
+            # tiered: cold positions were memoized by has_all's verify
+            self.link_dict[h] += n
+        for h, n in link_junk.items():
+            # order-independent exact reconstruction: the first sighting
+            # anywhere is the mark (count 0), every other sighting is +1
+            if h in self.link_dict:
                 self.link_dict[h] += n
-            for h, n in link_junk.items():
-                # order-independent exact reconstruction: the first sighting
-                # anywhere is the mark (count 0), every other sighting is +1
-                if h in self.link_dict:
-                    self.link_dict[h] += n
+            else:
+                self.link_dict[h] = n - 1
+        if self.ckpt:
+            for h in link_rel:
+                self._ckpt_link_delta[h] = self.link_dict[h]
+            for h in link_junk:
+                self._ckpt_link_delta[h] = self.link_dict[h]
+        # deferred policy: first-wins resolution in exact rank order,
+        # replicating _DomainReplay._add's incremental-mean arithmetic
+        # bit-for-bit (crawl_domains parity hashes sim_avg)
+        resolved: list[tuple] = []
+        sim_avg = 0.0
+        for (url, sim, okk, valid, dup), th in zip(d["rows"], d["row_th"]):
+            if th is not None:
+                if th in self.policy_dict:
+                    sim, dup = 0.0, True
                 else:
-                    self.link_dict[h] = n - 1
-            if self.ckpt:
-                for h in link_rel:
-                    self._ckpt_link_delta[h] = self.link_dict[h]
-                for h in link_junk:
-                    self._ckpt_link_delta[h] = self.link_dict[h]
-            # deferred policy: first-wins resolution in exact rank order,
-            # replicating _DomainReplay._add's incremental-mean arithmetic
-            # bit-for-bit (crawl_domains parity hashes sim_avg)
-            resolved: list[tuple] = []
-            sim_avg = 0.0
-            for (url, sim, okk, valid, dup), th in zip(d["rows"], d["row_th"]):
-                if th is not None:
-                    if th in self.policy_dict:
-                        sim, dup = 0.0, True
-                    else:
-                        self.policy_dict[th] = domain
-                        if self.ckpt:
-                            self._ckpt_policy_delta[th] = domain
-                resolved.append((url, sim, okk, valid, dup))
-                sim_avg += (sim - sim_avg) / len(resolved)
-            self._commit_domain_tail(
-                domain, resolved, d["status"], sim_avg, d["consumed"], track_dead
+                    self.policy_dict[th] = domain
+                    if self.ckpt:
+                        self._ckpt_policy_delta[th] = domain
+            resolved.append((url, sim, okk, valid, dup))
+            sim_avg += (sim - sim_avg) / len(resolved)
+        self._commit_domain_tail(
+            domain, resolved, d["status"], sim_avg, d["consumed"], track_dead
+        )
+        self.commit_stats["spec_accepted"] += 1
+        # burst delta = first-sight marks only: ``link_rel`` keys are in
+        # every actor's base or entered the burst with their marks, and
+        # junk keys never probe membership on a committed lane
+        burst_link.extend(link_local)
+        w_link.update(link_local)
+        return "accepted"
+
+    def _carry_over_block(self, clean: bool, w_link: set) -> None:
+        """Wave ended blocked: if the actor keeps its suspension (clean
+        lane), extend the cross-wave conflict carry (see _susp_carry in
+        __init__) with this wave's burst marks; a dropped suspension
+        re-walks against post-apply base next wave and needs none."""
+        if not clean:
+            self._susp_carry = None
+            return
+        prev = (
+            self._susp_carry[1]
+            if self._susp_carry is not None and self._susp_carry[0] == self.prefix
+            else set()
+        )
+        self._susp_carry = (self.prefix, prev | w_link)
+
+    def _consume_blocked_tail(self, b: dict, wants: dict, pending) -> None:
+        """Register a blocked record's frontier state (shared by the
+        contiguous and striped consume paths)."""
+        if b["rank"] != self.prefix:
+            raise RuntimeError(
+                f"sharded-commit sequencing skew: blocked rank {b['rank']} "
+                f"at committed prefix {self.prefix}"
             )
-            self.commit_stats["spec_accepted"] += 1
-            # burst delta = first-sight marks only: ``link_rel`` keys are in
-            # every actor's base or entered the burst with their marks, and
-            # junk keys never probe membership on a committed lane
-            burst_link.extend(link_local)
-            w_link.update(link_local)
-        b = res["blocked"]
-        if b is not None:
-            if b["rank"] != self.prefix:
-                raise RuntimeError(
-                    f"sharded-commit sequencing skew: blocked rank {b['rank']} "
-                    f"at committed prefix {self.prefix}"
-                )
-            if pending is not None:
-                if hasattr(pending, "protect_rank"):
-                    pending.protect_rank = b["rank"]
-                for iid, key in res["wants"].items():
-                    if iid in self.artifacts:
-                        continue
-                    pending.merge_key(iid, key)
-                pending.maybe_compact()
-            self._blocked_iid = b["iid"]
-            return "blocked"
-        return "ok"
+        if pending is not None:
+            if hasattr(pending, "protect_rank"):
+                pending.protect_rank = b["rank"]
+            for iid, key in wants.items():
+                if iid in self.artifacts:
+                    continue
+                pending.merge_key(iid, key)
+            pending.maybe_compact()
+        self._blocked_iid = b["iid"]
 
     def _inline_spill_step(self) -> None:
         """Mid-replay bounded-state housekeeping (cfg.state_cap only).
