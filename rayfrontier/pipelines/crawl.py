@@ -1569,9 +1569,12 @@ class CrawlEngine:
         self._delta_buf["link"].extend(link_local)
         if self.ckpt:
             self._ckpt_link_delta.update(link_local)
-        # bulk mark merge: dict.update for the plain dict; the tiered
-        # dict's update is its ONE vectorized-hash bulk-insert path
-        self.link_dict.update(link_local)
+        # bulk mark merge. link_local keys are VALIDATED-new (rule (1) + the
+        # actors' base hash arrays cover every committed key), so the tiered
+        # dict may insert them without a cold-membership pass (insert_new);
+        # plain dicts just update.
+        ins = getattr(self.link_dict, "insert_new", None)
+        (ins if ins is not None else self.link_dict.update)(link_local)
         for h, n in link_rel.items():
             # tiered: cold positions were memoized by has_all's verify
             self.link_dict[h] += n

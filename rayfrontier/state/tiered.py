@@ -65,8 +65,8 @@ class TieredLinkDict:
 
     __slots__ = (
         "root", "hot", "collisions", "hot_cap", "cold_h", "cold_c", "cold_seg",
-        "_segs", "_seg_h", "_memo", "_hash", "_hash_vec",
-        "flushes", "escrow_reads", "hwm_hot",
+        "_segs", "_seg_h", "_memo", "_memo_prev", "_hm_cur", "_hm_prev",
+        "_hash", "_hash_vec", "flushes", "escrow_reads", "hwm_hot",
     )
 
     def __init__(self, root: str, hot_cap: int, hash_scalar=hash_text, hash_vec=fnv1a64_var):
@@ -80,7 +80,22 @@ class TieredLinkDict:
         self.cold_seg = np.empty(0, dtype=np.int32)
         self._segs: list[pa.Table] = []       # mmap'd (h asc, k) segments
         self._seg_h: list[np.ndarray] = []    # zero-copy views of each h col
-        self._memo: dict[str, int] = {}       # verified cold position | -1
+        # verified cold position | -1, TWO GENERATIONS like the hash cache
+        # below (a wholesale clear at cap threw away the steady-state walk's
+        # working set — it re-probes the same frontier hrefs every wave);
+        # both generations clear on flush (positions shift on cold insert)
+        self._memo: dict[str, int] = {}
+        self._memo_prev: dict[str, int] = {}
+        # string→hash cache, TWO GENERATIONS (cur promoted to prev at cap
+        # instead of a wholesale clear, so the working set survives — the
+        # steady-state replay re-probes the same frontier hrefs every wave,
+        # and a full clear made every probe re-pay the ~6 µs scalar FNV:
+        # measured 17 s serial replay CPU at the 3M steady crawl vs ~10 s
+        # with this cache). Hashes never invalidate (strings are immutable),
+        # so unlike the position memo this survives flushes. Residency is
+        # O(hot_cap): ≤ 2 generations × 16×hot_cap entries.
+        self._hm_cur: dict[str, int] = {}
+        self._hm_prev: dict[str, int] = {}
         self._hash = hash_scalar
         self._hash_vec = hash_vec
         self.flushes = 0
@@ -93,6 +108,10 @@ class TieredLinkDict:
         vectorized cold-hash-membership hint (exact for False: same string ⇒
         same hash); ``h`` skips the scalar re-hash when the caller has it."""
         p = self._memo.get(k)
+        if p is None:
+            p = self._memo_prev.get(k)
+            if p is not None:
+                self._memo_put(k, p)  # promote to the current generation
         if p is not None:
             return p
         if inb is False:
@@ -101,10 +120,8 @@ class TieredLinkDict:
         if not ch.size:
             return -1
         if h is None:
-            h = self._hash(k)
+            h = self._hash_of(k)
         pos = int(np.searchsorted(ch, np.uint64(h)))
-        if len(self._memo) > 8 * self.hot_cap:
-            self._memo.clear()
         if pos >= ch.size or int(ch[pos]) != h:
             # memoize the MISS too: a first-sight probe is followed by the
             # domain commit's update() on the same key (and often more
@@ -112,15 +129,34 @@ class TieredLinkDict:
             # un-memoized miss path made every domain commit re-hash its
             # whole write batch (measured 3× serial replay CPU at the 3M
             # burst: 23.7 s bounded vs 7.9 s resident before this fix)
-            self._memo[k] = -1
+            self._memo_put(k, -1)
             return -1
         # hash hit → escrow string verify (the 64-bit collision guard)
         si = int(self.cold_seg[pos])
         q = int(np.searchsorted(self._seg_h[si], np.uint64(h)))
         self.escrow_reads += 1
         res = pos if self._segs[si]["k"][q].as_py() == k else -1
-        self._memo[k] = res
+        self._memo_put(k, res)
         return res
+
+    def _memo_put(self, k: str, v: int) -> None:
+        if len(self._memo) >= 8 * self.hot_cap:
+            self._memo_prev = self._memo
+            self._memo = {}
+        self._memo[k] = v
+
+    def _hash_of(self, k: str) -> int:
+        """Cached scalar hash (two-generation cache, see __init__)."""
+        h = self._hm_cur.get(k)
+        if h is None:
+            h = self._hm_prev.get(k)
+            if h is None:
+                h = self._hash(k)
+            if len(self._hm_cur) >= 16 * self.hot_cap:
+                self._hm_prev = self._hm_cur
+                self._hm_cur = {}
+            self._hm_cur[k] = h
+        return h
 
     def contains(self, k: str, inb: bool | None = None) -> bool:
         return (
@@ -157,6 +193,11 @@ class TieredLinkDict:
         ch = self.cold_h
         if not ch.size:
             return False
+        if len(miss) <= 64:
+            # per-record rel-key batches are tiny and their keys repeat
+            # across records (popular cross-linked pages): the memo/hash
+            # cache beats the vectorized pass's per-call overhead
+            return all(self._cold_pos(k) >= 0 for k in miss)
         hs = self._hash_vec(miss)
         p = np.searchsorted(ch, hs)
         pc = np.minimum(p, ch.size - 1)
@@ -188,7 +229,8 @@ class TieredLinkDict:
         hash-batch into ~µs — see the miss-memo note in _cold_pos)."""
         if not d:
             return
-        hot, col, memo = self.hot, self.collisions, self._memo
+        hot, col = self.hot, self.collisions
+        memo, memo_prev = self._memo, self._memo_prev
         rest: list[str] = []
         for k, v in d.items():
             if k in hot:
@@ -197,6 +239,8 @@ class TieredLinkDict:
                 col[k] = v
             else:
                 p = memo.get(k)
+                if p is None:
+                    p = memo_prev.get(k)
                 if p is None:
                     rest.append(k)
                 elif p >= 0:
@@ -219,6 +263,23 @@ class TieredLinkDict:
                 else:
                     hot[k] = d[k]
         if len(hot) > self.hot_cap:
+            self._flush()
+
+    def insert_new(self, d: dict) -> None:
+        """Bulk insert of keys the caller GUARANTEES are absent everywhere —
+        the sharded-commit accept path's ``link_local`` (first-sight marks,
+        already validated against the burst accumulator + the actors' base
+        hash arrays, which cover every tier's hashes). Skips the cold
+        membership pass entirely: the driver never walked these keys in
+        sharded mode, so its memo has nothing and ``update`` would pay a
+        per-domain vectorized-hash batch (measured: the driver's dominant
+        sharded-commit cost at the 3M steady crawl). A violated guarantee
+        surfaces loudly: the key would shadow/duplicate its cold entry and
+        the parity suite compares full dict contents."""
+        if not d:
+            return
+        self.hot.update(d)
+        if len(self.hot) > self.hot_cap:
             self._flush()
 
     def _flush(self) -> None:
@@ -279,7 +340,8 @@ class TieredLinkDict:
             self.cold_c = np.insert(self.cold_c, ins, vals)
             self.cold_seg = np.insert(self.cold_seg, ins, np.int32(si))
         hot.clear()
-        self._memo.clear()
+        self._memo = {}
+        self._memo_prev = {}
         self.flushes += 1
 
     # -- bulk / output surfaces -------------------------------------------------
