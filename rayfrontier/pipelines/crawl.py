@@ -897,7 +897,7 @@ class _ReplayRangeActor:
 
 
 def _new_art_cols() -> dict:
-    return {"id": [], "ok": [], "th": [], "sim": [], "hrefs": []}
+    return {"id": [], "ok": [], "th": [], "sim": [], "hrefs": [], "hh": []}
 
 
 def _art_delta_table(cols: dict) -> pa.Table | None:
@@ -912,7 +912,15 @@ def _art_delta_table(cols: dict) -> pa.Table | None:
     hrefs_sorted = [cols["hrefs"][int(k)] for k in order]
     lens = np.fromiter(map(len, hrefs_sorted), dtype=np.int64, count=len(hrefs_sorted))
     flat = [h for hs in hrefs_sorted for h in hs]
-    flat_h = fnv1a64_var(flat)
+    hh = cols.get("hh")
+    if hh and all(a is not None for a in hh):
+        # worker-computed hashes rode in with the blocks (_ingest_block)
+        flat_h = (
+            np.concatenate([np.asarray(hh[int(k)], dtype=np.uint64) for k in order])
+            if flat else np.empty(0, dtype=np.uint64)
+        )
+    else:
+        flat_h = fnv1a64_var(flat)
     offsets = pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32))
     return pa.table(
         {
@@ -2080,11 +2088,19 @@ class CrawlEngine:
         hashes = hashes_i64.astype(np.uint64)
         sims = table["sim"].to_numpy(zero_copy_only=False)
         hrefs_col = table["hrefs"].to_pylist()
-        # bounded mode: precompute per-href hashes (ONE vectorized pass over
-        # the block) so the driver's replay can probe the tiered link dict's
-        # cold tier vectorized per artifact instead of a scalar FNV per href
+        # per-href hashes: computed on the DISTRIBUTED fetch workers
+        # (stages/fetchparse._href_hash_col) and read here zero-copy — the
+        # replay overlays (tiered cold tier, range-actor hash bases) probe
+        # membership vectorized per artifact. The driver-side hash pass
+        # survives only as the fallback for hash-less blocks (old
+        # checkpoints), bounded mode only where the hashes are required.
         hh_col: list | None = None
-        if self.cfg.state_cap:
+        if "href_hashes" in table.column_names:
+            la = table["href_hashes"].combine_chunks()
+            flat_h = la.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            off = la.offsets.to_numpy(zero_copy_only=False)
+            hh_col = [flat_h[off[k]:off[k + 1]] for k in range(len(hrefs_col))]
+        elif self.cfg.state_cap:
             from ..functions.hashing import fnv1a64_var
 
             lens = np.fromiter(map(len, hrefs_col), dtype=np.int64, count=len(hrefs_col))
@@ -2112,6 +2128,7 @@ class CrawlEngine:
                 ac["th"].append(int(th_i64))
                 ac["sim"].append(float(sim))
                 ac["hrefs"].append(list(hrefs))
+                ac["hh"].append(hh_col[k] if hh_col is not None else None)
             if record_ckpt:
                 self._wave_delta.append(
                     {

@@ -73,9 +73,24 @@ class PageArtifactStage:
                 "text_hash": pa.array(text_hash.astype(np.int64), pa.int64()),
                 "sim": pa.array(sim, pa.float64()),
                 "hrefs": pa.array(hrefs, pa.list_(pa.string())),
+                "href_hashes": _href_hash_col(hrefs),
                 "n_chars": pa.array(n_chars, pa.int64()),
             }
         )
+
+
+def _href_hash_col(hrefs: list[list[str]]) -> pa.Array:
+    """Per-href FNV-1a hashes, computed HERE on the (distributed) fetch
+    workers so the driver's ingest and the replay overlays never pay a
+    hash pass — one vectorized call per block (crawl.py _ingest_block was
+    doing this serially on the driver: 2.3 s tottime / 1,900 blocks at a
+    300k steady crawl)."""
+    from ..functions.hashing import fnv1a64_var
+
+    lens = np.fromiter(map(len, hrefs), dtype=np.int64, count=len(hrefs))
+    flat_h = fnv1a64_var([h for hs in hrefs for h in hs]).astype(np.int64)
+    offsets = pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(flat_h, pa.int64()))
 
 
 _WORKER_STATE: dict = {}
