@@ -68,6 +68,29 @@ def _cpu_canary() -> float:
     return round(best, 3)
 
 
+def _membw_canary() -> float:
+    """Seconds for a fixed memory-bandwidth sweep (3×80 MB numpy copies,
+    min-of-3). A SECOND host-degradation mode was observed 2026-08-19
+    (BASELINE round-5 'Box-state caveat'): all-phase ~1.8× slowdowns on
+    identical code with an UNCHANGED single-core canary — a tight integer
+    loop runs in registers/L1 and cannot see memory-bandwidth contention,
+    while the engine's vectorized replay/ingest phases are bandwidth-bound.
+    Nominal ~0.05-0.1 s on this box; interpret absolute draws against BOTH
+    canaries."""
+    import numpy as np
+
+    a = np.arange(10_000_000, dtype=np.int64)  # 80 MB, past any LLC
+    best = None
+    for _ in range(3):
+        t = time.time()
+        for _ in range(3):
+            b = a.copy()
+            a[0] = int(b[-1])  # defeat elision
+        dt = time.time() - t
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def _bench_cfgs():
     from rayfrontier.config import CrawlConfig, DatagenConfig
 
@@ -278,6 +301,7 @@ def main() -> None:
         # old records stay comparable — they were taken at this point)
         "loadavg_pre_draw": loadavg,
         "cpu_canary_sec": _cpu_canary(),
+        "membw_canary_sec": _membw_canary(),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -526,6 +550,7 @@ def crawl_only() -> None:
     ensure_corpus()
     out = run_crawl_bench()
     out["cpu_canary_sec"] = _cpu_canary()
+    out["membw_canary_sec"] = _membw_canary()
     print(json.dumps(out))
     ray.shutdown()
 
