@@ -401,6 +401,10 @@ class TieredLinkDict:
             "segments": len(self._segs),
             "escrow_reads": self.escrow_reads,
             "flushes": self.flushes,
+            # probe-cache residency (honest accounting: these hold string
+            # keys too, capped at 2×8×hot_cap + 2×16×hot_cap entries)
+            "memo_entries": len(self._memo) + len(self._memo_prev),
+            "hash_cache_entries": len(self._hm_cur) + len(self._hm_prev),
         }
 
 
