@@ -997,3 +997,37 @@ def test_striped_commit_config_rejection(corpus, small_cfg):
 
     with pytest.raises(ValueError, match="striped_commit"):
         CrawlEngine(corpus, small_cfg, CrawlConfig(striped_commit=True))
+
+
+def test_politeness_budget_model(ray_session, corpus, small_cfg):
+    """The recorded per-(wave, host) grants must equal an exact token-bucket
+    replay (level0 = burst = 2*rate; grant = min(level, requested); refill
+    = min(burst, level + rate) at each wave end). Politeness is
+    scheduling-only, so output parity CANNOT catch a budget violation —
+    this pins it directly, and with it the round-5 first-wave driver-side
+    grant path plus the load() state handoff to the remote shards: a wrong
+    shipped state would skew every post-wave-0 grant against the model."""
+    from collections import defaultdict
+
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    rate = 2
+    cfg = CrawlConfig(per_host_wave_cap=3, host_tokens_per_wave=rate, wave_url_cap=25)
+    eng = CrawlEngine(corpus, small_cfg, cfg).run()
+    rows = [m for m in eng.metrics_rows if "granted" in m]
+    assert rows, "no grant metrics recorded"
+    waves = sorted({m["wave"] for m in rows})
+    assert len(waves) > 2, "tight budgets must force a multi-wave crawl"
+    burst = 2 * rate
+    level: dict[str, int] = defaultdict(lambda: burst)
+    by_wave: dict[int, list] = defaultdict(list)
+    for m in rows:
+        by_wave[m["wave"]].append(m)
+    for w in waves:
+        for m in by_wave[w]:
+            want = min(level[m["host"]], m["requested"])
+            assert m["granted"] == want, (w, m, level[m["host"]])
+            level[m["host"]] -= m["granted"]
+        for h in list(level):
+            level[h] = min(burst, level[h] + rate)
+    eng.shutdown()
