@@ -1031,3 +1031,23 @@ def test_politeness_budget_model(ray_session, corpus, small_cfg):
         for h in list(level):
             level[h] = min(burst, level[h] + rate)
     eng.shutdown()
+
+
+def test_striped_commit_checkpoint_resume(ray_session, corpus, small_cfg, tmp_path):
+    """Kill after 2 waves, resume striped: fresh actors re-sync from the
+    artifact snapshot and the striped consume (with the cross-wave carry)
+    still lands byte-equal."""
+    from rayfrontier.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(sharded_commit=True, striped_commit=True,
+                      tentative_shards=4, wave_url_cap=20)
+    ck = str(tmp_path / "ck_stc")
+    e1 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e1.run(max_waves=2)
+    e1.shutdown()
+    e2 = CrawlEngine(corpus, small_cfg, cfg, checkpoint_dir=ck)
+    e2.run(resume=True)
+    oracle = _oracle(small_cfg)
+    assert [tuple(r) for r in e2.crawl_rows] == [tuple(r) for r in oracle.crawl_log]
+    assert e2.link_dict == oracle.url_seen
+    e2.shutdown()
